@@ -1,0 +1,105 @@
+"""Divergence-free polynomial reduction bases.
+
+The heart of the model reduction: each reduced region's velocity field is
+one divergence-free polynomial.  ``conversion_coefficients(offset, axis)``
+returns the coefficient vector c such that ``u_axis(x) = c . w`` for region
+coefficient vector w, where ``offset = x - COM(region)``.
+
+Quadratic basis: 26 DOFs — vx, vy are full quadratics (10 coeffs each) and
+vz has 6 free coefficients, the rest determined so that div(u) == 0 exactly
+(reference: exec/HDK_PolyStokesSolver.cpp:2107-2149).  Affine variant: 11
+DOFs (reference: exec/HDK_PolyStokesSolver.cpp:2153-2182).
+
+Coefficient layout (quadratic), with o = (x, y, z) = offset:
+  vx = w0  + w3 x + w4 y + w5 z + w6 x^2 + w7 xy + w8 xz + w9 y^2
+       + w10 yz + w11 z^2
+  vy = w1  + w12 x + w13 y + w14 z + w15 x^2 + w16 xy + w17 xz + w18 y^2
+       + w19 yz + w20 z^2
+  vz = w2  - w3 z - 2 w6 xz - w7 yz - (1/2) w8 z^2 - w13 z - w16 xz
+       - 2 w18 yz - (1/2) w19 z^2 + w21 x + w22 y + w23 x^2 + w24 xy
+       + w25 y^2
+so that d(vx)/dx + d(vy)/dy + d(vz)/dz == 0 identically.
+
+NOTE on scaling: the engine evaluates the basis at offsets measured in
+*cell units* (offset / dx).  This is a pure diagonal re-parameterization of
+the region coefficients; every Galerkin product J^T B^{-1} J that enters
+the (p, tau) system is exactly invariant under it, while the 26x26 blocks
+become well-conditioned in fp32 (offsets O(tile) instead of O(tile*dx)).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .config import BasisOrder
+
+QUADRATIC_DOF = 26
+AFFINE_DOF = 11
+
+
+def conversion_coefficients(offset: jnp.ndarray, axis: int, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:
+    """Basis row for a velocity sample.
+
+    Args:
+      offset: (..., 3) offsets from the region center of mass (cell units).
+      axis: velocity component (0, 1, 2).
+
+    Returns:
+      (..., REDUCED_DOF) coefficient vectors.
+    """
+    x = offset[..., 0]
+    y = offset[..., 1]
+    z = offset[..., 2]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+
+    if basis == BasisOrder.QUADRATIC:
+        if axis == 0:
+            cols = [one, zero, zero,
+                    x, y, z,
+                    x * x, x * y, x * z, y * y, y * z, z * z] + [zero] * 14
+        elif axis == 1:
+            cols = [zero, one, zero] + [zero] * 9 + [
+                x, y, z,
+                x * x, x * y, x * z, y * y, y * z, z * z] + [zero] * 5
+        else:
+            cols = [zero, zero, one,
+                    -z, zero, zero,
+                    -2.0 * x * z, -y * z, -0.5 * z * z,
+                    zero, zero, zero,
+                    zero, -z, zero,
+                    zero, -x * z, zero,
+                    -2.0 * y * z, -0.5 * z * z, zero,
+                    x, y, x * x,
+                    x * y, y * y]
+    else:  # AFFINE
+        if axis == 0:
+            cols = [one, zero, zero, x, y, z] + [zero] * 5
+        elif axis == 1:
+            cols = [zero, one, zero, zero, zero, zero, x, y, z, zero, zero]
+        else:
+            cols = [zero, zero, one, -z, zero, zero, zero, -z, zero, x, y]
+
+    return jnp.stack(cols, axis=-1)
+
+
+def evaluate_velocity(offset: jnp.ndarray, axis: int, w: jnp.ndarray, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:
+    """u_axis at `offset` for region coefficients w (..., REDUCED_DOF)."""
+    c = conversion_coefficients(offset, axis, basis)
+    return jnp.sum(c * w, axis=-1)
+
+
+def divergence(offset: jnp.ndarray, w: jnp.ndarray, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:
+    """Analytic divergence of the polynomial field at `offset` (for tests)."""
+    x = offset[..., 0]
+    y = offset[..., 1]
+    z = offset[..., 2]
+    if basis == BasisOrder.QUADRATIC:
+        dvx_dx = w[..., 3] + 2 * w[..., 6] * x + w[..., 7] * y + w[..., 8] * z
+        dvy_dy = w[..., 13] + w[..., 16] * x + 2 * w[..., 18] * y + w[..., 19] * z
+        dvz_dz = (-w[..., 3] - 2 * w[..., 6] * x - w[..., 7] * y - w[..., 8] * z
+                  - w[..., 13] - w[..., 16] * x - 2 * w[..., 18] * y - w[..., 19] * z)
+    else:
+        dvx_dx = w[..., 3]
+        dvy_dy = w[..., 7]
+        dvz_dz = -w[..., 3] - w[..., 7]
+    return dvx_dx + dvy_dy + dvz_dz

@@ -1,0 +1,364 @@
+"""Top-level PolyStokes step: weights -> classify -> reduce -> assemble ->
+solve -> recover -> write back.
+
+TPU-native re-design of the reference pipeline driver
+(exec/HDK_PolyStokes.C:222-609 `solveGasSubclass`) and solver state
+(exec/HDK_PolyStokesSolver.{h,cpp}).  The entire step is one jittable
+function of dense arrays; each stage corresponds to one reference stage
+(see the call-stack map in SURVEY.md section 3.1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import krylov
+from .classify import (
+    ACTIVEFLUID,
+    REDUCED,
+    SOLID,
+    UNSOLVED,
+    Classification,
+    classify,
+    effective_max_regions,
+    is_active,
+)
+from .config import MatrixScheme, PreconditionerType, SolverParams, SolverType
+from .grid import Grid
+from .operators import (
+    Assembled,
+    PTau,
+    build_coefficients,
+    build_diagonals,
+    cell_at_face,
+    edge_at_face,
+    face_at_cell,
+    forward_face_values,
+    scatter_face_to_edge,
+    transpose_from_faces,
+)
+from .reduced import (
+    ReducedData,
+    build_reduced,
+    expand_J,
+    finalize_reduced,
+    gather_com,
+    reduce_J,
+)
+from .weights import compute_weights
+
+
+# ---------------------------------------------------------------------------
+# Scene: the NumPy-facing state API replacing the reference's 10 Houdini
+# input fields (exec/HDK_PolyStokes.C:235-314)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Scene:
+    """One solve's input state on the MAC grid."""
+
+    surface_sdf: jnp.ndarray  # (nx,ny,nz) liquid SDF at centers, <0 inside
+    collision_sdf: jnp.ndarray  # (nx,ny,nz) solid SDF at centers, <0 inside
+    velocity: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # face arrays
+    collision_velocity: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    viscosity: jnp.ndarray  # (nx,ny,nz) dynamic viscosity at centers
+    dt: jnp.ndarray  # timestep (scalar)
+
+
+def edge_viscosity(viscosity_c, edge_axis: int):
+    """Viscosity at edge sampling points: bilinear average of the 4
+    surrounding cell centers with edge-clamped borders (the reference
+    trilinearly samples its center-sampled field at the edge position;
+    Solver.cpp:693-695)."""
+    from .grid import EDGE_OFFSET_AXES
+
+    p, q = EDGE_OFFSET_AXES[edge_axis]
+    pad = [(0, 0)] * 3
+    pad[p] = (1, 0)
+    pad[q] = (1, 0)
+    v = jnp.pad(viscosity_c, pad, mode="edge")
+    # also pad the upper side so views are edge-shaped
+    pad2 = [(0, 0)] * 3
+    pad2[p] = (0, 1)
+    pad2[q] = (0, 1)
+    v = jnp.pad(v, pad2, mode="edge")
+
+    def view(dp, dq):
+        s = [slice(None)] * 3
+        n = list(viscosity_c.shape)
+        s[p] = slice(dp, dp + n[p] + 1)
+        s[q] = slice(dq, dq + n[q] + 1)
+        return v[tuple(s)]
+
+    return 0.25 * (view(0, 0) + view(0, 1) + view(1, 0) + view(1, 1))
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _solid_rhs(grid: Grid, cls: Classification, asm_coeffs, fluid_w, collision_velocity, dtype) -> PTau:
+    """Solid-velocity boundary RHS terms (ConstructMatrixBlocks.cpp:424-441,
+    493-511, 581-599): for each ACTIVE face f with stencil coefficient
+    coeff(f, target) > 0,
+
+      rhs[target] += sign * coeff * svel_f * (1[faceFluidW<1] - 1[targetFluidW<1])
+
+    where `target` ranges over the adjacent active pressure cells, center
+    stresses, and edge stresses.  (Pressure and stress both use
+    +sign*coeff; the matrix's Dt uses -sign*coeff.)"""
+    c_lo, c_hi, ecoef = asm_coeffs
+    p_out = jnp.zeros(grid.center_shape, dtype)
+    tc_out = [jnp.zeros(grid.center_shape, dtype) for _ in range(3)]
+    te_out = [jnp.zeros(fluid_w[f"edge{e}"].shape, dtype) for e in range(3)]
+
+    phi_c = (fluid_w["center"] < 1.0).astype(dtype)
+    for a in range(3):
+        act = is_active(cls.face_labels[a]).astype(dtype)
+        svel = collision_velocity[a].astype(dtype) * act
+        phi_f = (fluid_w[f"face{a}"] < 1.0).astype(dtype)
+        w1 = svel * phi_f  # face-indicator part
+        # cell targets: cell's lower face (cell on upper side, sign +1,
+        # coeff c_hi at face index == cell) and upper face (sign -1, c_lo)
+        t1 = face_at_cell(c_hi[a] * w1, a, 0) - face_at_cell(c_lo[a] * w1, a, 1)
+        t2 = (face_at_cell(c_hi[a] * svel, a, 0) - face_at_cell(c_lo[a] * svel, a, 1)) * phi_c
+        contrib = t1 - t2
+        p_out = p_out + contrib
+        tc_out[a] = tc_out[a] + contrib
+        for e in range(3):
+            if e == a:
+                continue
+            elo, ehi = ecoef[a][e]
+            phi_e = (fluid_w[f"edge{e}"] < 1.0).astype(dtype)
+            # edge targets: sign(dir0) = -1, sign(dir1) = +1
+            s1 = scatter_face_to_edge(ehi * w1, a, e, 1) - scatter_face_to_edge(elo * w1, a, e, 0)
+            s2 = (scatter_face_to_edge(ehi * svel, a, e, 1) - scatter_face_to_edge(elo * svel, a, e, 0)) * phi_e
+            te_out[e] = te_out[e] + s1 - s2
+    return PTau(p=p_out, tc=tuple(tc_out), te=tuple(te_out))
+
+
+def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, params: SolverParams, R: int):
+    """Build all operator state for the pressure-stress factored scheme
+    (assembleSystemPressureStressFactored, AssembleSystem.cpp:432-470)."""
+    dtype = params.dtype
+    dt = jnp.asarray(scene.dt, dtype)
+    visc_c = scene.viscosity.astype(dtype)
+    visc_e = tuple(edge_viscosity(visc_c, e) for e in range(3))
+
+    c_lo, c_hi, ecoef = build_coefficients(grid, cls, liquid_w, fluid_w, params)
+    mc, mc_inv, uinv_c, u_c, uinv_e, u_e = build_diagonals(
+        grid, cls, liquid_w, fluid_w, visc_c, visc_e, params
+    )
+
+    vmask = tuple(is_active(cls.face_labels[a]).astype(dtype) for a in range(3))
+    rmask = tuple(((cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)).astype(dtype) for a in range(3))
+    emask = tuple(is_active(cls.edge_labels[e]).astype(dtype) for e in range(3))
+    p_mask = is_active(cls.cell_labels).astype(dtype)
+
+    b_v = tuple(scene.velocity[a].astype(dtype) * mc[a] for a in range(3))
+    old_v = tuple(scene.velocity[a].astype(dtype) * vmask[a] for a in range(3))
+    rhs_solid = _solid_rhs(grid, cls, (c_lo, c_hi, ecoef), fluid_w, scene.collision_velocity, dtype)
+
+    if params.do_reduced_regions:
+        rd = build_reduced(grid, cls, scene.velocity, visc_c, visc_e, params, R)
+        rd = finalize_reduced(rd, cls.region_valid, dt, dtype, params.reduced_dof)
+    else:
+        D = params.reduced_dof
+        rd = ReducedData(
+            com=jnp.zeros((R, 3), dtype),
+            cell_counts=jnp.zeros((R,), dtype),
+            mr=jnp.zeros((R, D, D), dtype),
+            vr=jnp.zeros((R, D, D), dtype),
+            binv=jnp.zeros((R, D, D), dtype),
+            best_fit=jnp.zeros((R, D), dtype),
+            b_w=jnp.zeros((R, D), dtype),
+        )
+
+    asm = Assembled(
+        dt=dt,
+        inv_dx=jnp.asarray(1.0 / grid.dx, dtype),
+        p_mask=p_mask,
+        vmask=vmask,
+        rmask=rmask,
+        emask=emask,
+        c_lo=c_lo,
+        c_hi=c_hi,
+        ecoef=ecoef,
+        mc=mc,
+        mc_inv=mc_inv,
+        uinv_c=uinv_c,
+        u_c=u_c,
+        uinv_e=uinv_e,
+        u_e=u_e,
+        b_v=b_v,
+        old_v=old_v,
+        rhs_solid=rhs_solid,
+        com=rd.com,
+        binv=rd.binv,
+        mr=rd.mr,
+        best_fit=rd.best_fit,
+        b_w=rd.b_w,
+        region_valid=cls.region_valid,
+        face_region=cls.face_region,
+    )
+    return asm, rd
+
+
+# ---------------------------------------------------------------------------
+# The matrix-free pressure-stress Schur operator
+# (ApplyPressureStressMatrix::applyMatrixVectorProducts,
+#  lib/include/ApplyPressureStressMatrix.h:102-179)
+# ---------------------------------------------------------------------------
+
+def make_apply(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+    reduced = params.do_reduced_regions
+
+    def apply_A(x: PTau) -> PTau:
+        s = forward_face_values(asm, x)  # (G p + Dt tau) on every face
+        # active branch: -dt [G Dt]^T McInv [G Dt] x
+        fv = [-asm.dt * asm.mc_inv[a] * s[a] for a in range(3)]
+        if reduced:
+            # reduced branch: -[JG JDt]^T BInv [JG JDt] x
+            y = reduce_J(grid, cls, asm.com, s, params, R)
+            w = jnp.einsum("rij,rj->ri", asm.binv, y)
+            u = expand_J(grid, cls, asm.com, w, params)
+            fv = [fv[a] - u[a] for a in range(3)]
+        out = transpose_from_faces(asm, fv)
+        tc = tuple(out.tc[a] - 0.5 * asm.uinv_c * x.tc[a] for a in range(3))
+        te = tuple(out.te[e] - 0.5 * asm.uinv_e[e] * x.te[e] for e in range(3))
+        return PTau(p=out.p, tc=tc, te=te)
+
+    return apply_A
+
+
+def build_rhs(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int) -> PTau:
+    """b = -[G Dt]^T McInv b_v - (1/dt) [JG JDt]^T BInv b_w + rhs_solid
+    (AssembleSystem.cpp:448-459)."""
+    fv = [-(asm.mc_inv[a] * asm.b_v[a]) for a in range(3)]
+    if params.do_reduced_regions:
+        w0 = jnp.einsum("rij,rj->ri", asm.binv, asm.b_w) / asm.dt
+        u0 = expand_J(grid, cls, asm.com, w0, params)
+        fv = [fv[a] - u0[a] for a in range(3)]
+    b = transpose_from_faces(asm, fv)
+    return b + asm.rhs_solid
+
+
+def recover_velocity(grid: Grid, cls: Classification, asm: Assembled, x: PTau, params: SolverParams, R: int):
+    """v = dt McInv (b_v/dt - G p - Dt tau);  w = BInv (b_w/dt - JG p - JDt tau)
+    (recoverVelocityFromPressureStress, Solver.cpp:493-510)."""
+    s = forward_face_values(asm, x)
+    v = tuple(asm.mc_inv[a] * asm.b_v[a] - asm.dt * asm.mc_inv[a] * s[a] for a in range(3))
+    if params.do_reduced_regions:
+        y = reduce_J(grid, cls, asm.com, s, params, R)
+        w = jnp.einsum("rij,rj->ri", asm.binv, asm.b_w / asm.dt - y)
+    else:
+        w = jnp.zeros((R, params.reduced_dof), params.dtype)
+    return v, w
+
+
+def apply_solution_to_velocity(grid: Grid, cls: Classification, asm: Assembled, scene: Scene, v, w, params: SolverParams):
+    """Per-face write-back (applySolutionToVelocity, Solver.cpp:938-1028):
+    reduced faces evaluate the region polynomial, active faces take the
+    solved value, solid faces take the collision velocity; invalid faces
+    keep their previous velocity.  Also returns the valid-face masks
+    (buildValidFaces, Classifier.cpp:5-54)."""
+    u_red = expand_J(grid, cls, asm.com, w, params)
+    new_vel = []
+    valid = []
+    for a in range(3):
+        lbl = cls.face_labels[a]
+        val = lbl != UNSOLVED
+        red = (lbl == REDUCED) & (cls.face_region[a] >= 0)
+        act = is_active(lbl)
+        sol = lbl == SOLID
+        out = jnp.where(
+            red,
+            u_red[a],
+            jnp.where(
+                act,
+                v[a],
+                jnp.where(sol, scene.collision_velocity[a].astype(params.dtype), scene.velocity[a].astype(params.dtype)),
+            ),
+        )
+        out = jnp.where(val, out, scene.velocity[a].astype(params.dtype))
+        new_vel.append(out)
+        valid.append(val)
+    return tuple(new_vel), tuple(valid)
+
+
+# ---------------------------------------------------------------------------
+# The full step
+# ---------------------------------------------------------------------------
+
+def _dof_counts(cls: Classification):
+    n_center = jnp.sum(is_active(cls.cell_labels))
+    n_faces = sum(jnp.sum(is_active(l)) for l in cls.face_labels)
+    n_edges = sum(jnp.sum(is_active(l)) for l in cls.edge_labels)
+    return n_center, n_faces, n_edges
+
+
+@partial(jax.jit, static_argnames=("grid", "params"))
+def step(grid: Grid, scene: Scene, params: SolverParams):
+    """One Stokes solve.  Returns (new_velocity, valid_masks, stats)."""
+    R = effective_max_regions(grid, params)
+
+    liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+    cls = classify(grid, liquid_w, fluid_w, params)
+    asm, rd = assemble(grid, scene, cls, liquid_w, fluid_w, params, R)
+
+    apply_A = make_apply(grid, cls, asm, params, R)
+    b = build_rhs(grid, cls, asm, params, R)
+
+    x0 = PTau(
+        p=jnp.zeros(grid.center_shape, params.dtype),
+        tc=tuple(jnp.zeros(grid.center_shape, params.dtype) for _ in range(3)),
+        te=tuple(jnp.zeros_like(asm.uinv_e[e]) for e in range(3)),
+    )
+
+    if params.do_solve:
+        if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
+            res = krylov.pcg(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+            if params.bicgstab_fallback:
+                def _fallback(_):
+                    return krylov.bicgstab(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+
+                def _keep(r):
+                    return r
+
+                res = jax.lax.cond(res.converged, _keep, _fallback, res)
+        elif params.solver_type == SolverType.BICGSTAB:
+            res = krylov.bicgstab(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+        else:
+            res = krylov.minres(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+        x = res.x
+    else:
+        res = krylov.KrylovResult(x=x0, iterations=jnp.int32(0), error=jnp.asarray(0.0, params.dtype), converged=jnp.bool_(True))
+        x = x0
+
+    v, w = recover_velocity(grid, cls, asm, x, params, R)
+    new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, v, w, params)
+
+    # keep_non_converged semantics (HDK_PolyStokes.C:566-604): on failure,
+    # either keep the partial result or leave the velocity untouched.
+    if not params.keep_non_converged:
+        keep = res.converged
+        new_vel = tuple(jnp.where(keep, nv, scene.velocity[a].astype(params.dtype)) for a, nv in enumerate(new_vel))
+
+    n_center, n_faces, n_edges = _dof_counts(cls)
+    stats = {
+        "iterations": res.iterations,
+        "error": res.error,
+        "converged": res.converged,
+        "n_pressures": n_center,
+        "n_active_velocities": n_faces,
+        "n_stresses": 3 * n_center + n_edges,
+        "n_regions": cls.n_regions,
+        "n_reduced_dofs": cls.n_regions * params.reduced_dof,
+        "region_overflow": cls.region_overflow,
+    }
+    return new_vel, valid, stats

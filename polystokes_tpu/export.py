@@ -1,0 +1,308 @@
+"""Operator / stats export and warm-start IO.
+
+Parity with the reference's offline-verification tooling
+(exportMatrices / exportComponentMatrices / exportStats / readInWarmStart,
+exec/HDK_PolyStokesSolver.cpp:533-642): every component block can be
+materialized as a scipy sparse matrix (host-side, vectorized — no loops)
+and written as MatrixMarket ``.mtx`` or bundled ``.npz``.  The explicit
+matrices are derived from the same coefficient fields the matrix-free
+apply uses, so the export *is* the operator being solved.
+
+DOF ordering: lexicographic per family; velocities stacked [vx|vy|vz]
+(faceVelocityDOF), stresses stacked [txx|tyy|tzz|tyz|txz|txy] (stressDOF);
+reduced DOFs are D consecutive rows per region.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+import scipy.sparse as sp
+
+from .basis import conversion_coefficients
+from .classify import REDUCED, Classification, is_active
+from .config import SolverParams
+from .grid import Grid, face_offsets
+
+import jax.numpy as jnp
+
+
+def _number(mask: np.ndarray):
+    idx = np.cumsum(mask.ravel()).reshape(mask.shape) - 1
+    return np.where(mask, idx, -1), int(mask.sum())
+
+
+class ExplicitOperators:
+    """Host-side explicit sparse blocks built from an Assembled state."""
+
+    def __init__(self, grid: Grid, cls: Classification, asm, params: SolverParams):
+        self.grid = grid
+        self.params = params
+        self.D = params.reduced_dof
+        cell_act = np.asarray(is_active(cls.cell_labels))
+        self.cell_idx, self.nP = _number(cell_act)
+        self.face_idx, self.nF = [], []
+        for a in range(3):
+            ix, n = _number(np.asarray(is_active(cls.face_labels[a])))
+            self.face_idx.append(ix)
+            self.nF.append(n)
+        self.edge_idx, self.nE = [], []
+        for e in range(3):
+            ix, n = _number(np.asarray(is_active(cls.edge_labels[e])))
+            self.edge_idx.append(ix)
+            self.nE.append(n)
+        self.nV = sum(self.nF)
+        self.nS = 3 * self.nP + sum(self.nE)
+        self.R = int(asm.binv.shape[0])
+        self.nW = self.R * self.D
+        self.cls = cls
+        self.asm = asm
+
+    # family offsets in the stacked layouts
+    def _voff(self, a):
+        return sum(self.nF[:a])
+
+    def _soff_center(self, axis):
+        return axis * self.nP
+
+    def _soff_edge(self, e):
+        return 3 * self.nP + sum(self.nE[:e])
+
+    # ------------------------------------------------------------------
+    def _cell_view(self, a, d):
+        """Face-shaped cell index view on side d (0 lower, 1 upper)."""
+        idx = np.pad(self.cell_idx, [(1, 1) if i == a else (0, 0) for i in range(3)], constant_values=-1)
+        n = self.grid.res[a]
+        sl = [slice(None)] * 3
+        sl[a] = slice(d, d + n + 1)
+        return idx[tuple(sl)]
+
+    def _edge_view(self, a, e, d):
+        t = 3 - a - e
+        idx = self.edge_idx[e]
+        n_t = idx.shape[t] - 1
+        sl = [slice(None)] * 3
+        sl[t] = slice(d, d + n_t)
+        return idx[tuple(sl)]
+
+    def _edge_region_view(self, a, e, d):
+        t = 3 - a - e
+        idx = np.asarray(self.cls.edge_region[e])
+        n_t = idx.shape[t] - 1
+        sl = [slice(None)] * 3
+        sl[t] = slice(d, d + n_t)
+        return idx[tuple(sl)]
+
+    def G(self):
+        return self._grad_like(stress=False, reduced=False)
+
+    def JG(self):
+        return self._grad_like(stress=False, reduced=True)
+
+    def Dt(self):
+        rows, cols, vals = [], [], []
+        for mats in (self._grad_like(stress=True, reduced=False, parts=True), self._edge_div(reduced=False, parts=True)):
+            r, c, v = mats
+            rows.append(r)
+            cols.append(c)
+            vals.append(v)
+        return sp.coo_matrix((np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))), shape=(self.nV, self.nS)).tocsr()
+
+    def JDt(self):
+        rows, cols, vals = [], [], []
+        for mats in (self._grad_like(stress=True, reduced=True, parts=True), self._edge_div(reduced=True, parts=True)):
+            r, c, v = mats
+            rows.append(r)
+            cols.append(c)
+            vals.append(v)
+        return sp.coo_matrix((np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))), shape=(self.nW, self.nS)).tocsr()
+
+    def _face_basis(self, a):
+        from .reduced import gather_com
+
+        reg = self.cls.face_region[a]
+        com_at = gather_com(self.asm.com, reg)
+        shape = np.asarray(reg).shape
+        pos = np.stack(np.meshgrid(*[np.arange(s, dtype=float) for s in shape], indexing="ij"), axis=-1)
+        pos += np.asarray(face_offsets(a))
+        C = conversion_coefficients(jnp.asarray(pos) - com_at, a, self.params.basis)
+        return np.asarray(C)
+
+    def _grad_like(self, stress: bool, reduced: bool, parts: bool = False):
+        """G / JG and the center-stress part of Dt / JDt."""
+        rows, cols, vals = [], [], []
+        for a in range(3):
+            c_lo = np.asarray(self.asm.c_lo[a])
+            c_hi = np.asarray(self.asm.c_hi[a])
+            fl = np.asarray(self.cls.face_labels[a])
+            if reduced:
+                sel_face = fl == REDUCED
+                reg = np.asarray(self.cls.face_region[a])
+                C = self._face_basis(a)
+            else:
+                sel_face = np.asarray(is_active(self.cls.face_labels[a]))
+            for d, cf, sign in ((0, c_lo, -1.0), (1, c_hi, 1.0)):
+                cv = self._cell_view(a, d)
+                col = cv if not stress else np.where(cv >= 0, cv + self._soff_center(a), -1)
+                ok = sel_face & (col >= 0) & (cf != 0)
+                s = sign if not stress else -sign
+                if not reduced:
+                    rows.append(self.face_idx[a][ok] + self._voff(a))
+                    cols.append(col[ok])
+                    vals.append(s * cf[ok])
+                else:
+                    n = ok.sum()
+                    base = (reg[ok] * self.D)[:, None] + np.arange(self.D)[None, :]
+                    rows.append(base.ravel())
+                    cols.append(np.repeat(col[ok], self.D))
+                    vals.append((s * cf[ok][:, None] * C[ok]).ravel())
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        if parts:
+            return rows, cols, vals
+        nrow = self.nW if reduced else self.nV
+        ncol = self.nP if not stress else self.nS
+        return sp.coo_matrix((vals, (rows, cols)), shape=(nrow, ncol)).tocsr()
+
+    def _edge_div(self, reduced: bool, parts: bool = False):
+        rows, cols, vals = [], [], []
+        for a in range(3):
+            fl = np.asarray(self.cls.face_labels[a])
+            if reduced:
+                sel_face = fl == REDUCED
+                reg = np.asarray(self.cls.face_region[a])
+                C = self._face_basis(a)
+            else:
+                sel_face = np.asarray(is_active(self.cls.face_labels[a]))
+            for e in range(3):
+                if e == a:
+                    continue
+                elo, ehi = self.asm.ecoef[a][e]
+                for d, cf, sign in ((0, np.asarray(elo), 1.0), (1, np.asarray(ehi), -1.0)):
+                    ev = self._edge_view(a, e, d)
+                    col = np.where(ev >= 0, ev + self._soff_edge(e), -1)
+                    ok = sel_face & (col >= 0) & (cf != 0)
+                    if not reduced:
+                        rows.append(self.face_idx[a][ok] + self._voff(a))
+                        cols.append(col[ok])
+                        vals.append(sign * cf[ok])
+                    else:
+                        base = (reg[ok] * self.D)[:, None] + np.arange(self.D)[None, :]
+                        rows.append(base.ravel())
+                        cols.append(np.repeat(col[ok], self.D))
+                        vals.append((sign * cf[ok][:, None] * C[ok]).ravel())
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        if parts:
+            return rows, cols, vals
+        nrow = self.nW if reduced else self.nV
+        return sp.coo_matrix((vals, (rows, cols)), shape=(nrow, self.nS)).tocsr()
+
+    def Mc(self):
+        d = np.concatenate([np.asarray(self.asm.mc[a])[self.face_idx[a] >= 0] for a in range(3)])
+        return sp.diags(d)
+
+    def McInv(self):
+        d = np.concatenate([np.asarray(self.asm.mc_inv[a])[self.face_idx[a] >= 0] for a in range(3)])
+        return sp.diags(d)
+
+    def uInv(self):
+        parts = [np.asarray(self.asm.uinv_c)[self.cell_idx >= 0] for _ in range(3)]
+        parts += [np.asarray(self.asm.uinv_e[e])[self.edge_idx[e] >= 0] for e in range(3)]
+        return sp.diags(np.concatenate(parts))
+
+    def u(self):
+        parts = [np.asarray(self.asm.u_c)[self.cell_idx >= 0] for _ in range(3)]
+        parts += [np.asarray(self.asm.u_e[e])[self.edge_idx[e] >= 0] for e in range(3)]
+        return sp.diags(np.concatenate(parts))
+
+    def Mr(self):
+        return sp.block_diag(list(np.asarray(self.asm.mr))) if self.R else sp.csr_matrix((0, 0))
+
+    def BInv(self):
+        return sp.block_diag(list(np.asarray(self.asm.binv))) if self.R else sp.csr_matrix((0, 0))
+
+    def vectors(self) -> Dict[str, np.ndarray]:
+        b_v = np.concatenate([np.asarray(self.asm.b_v[a])[self.face_idx[a] >= 0] for a in range(3)])
+        old_v = np.concatenate([np.asarray(self.asm.old_v[a])[self.face_idx[a] >= 0] for a in range(3)])
+        rhs = self.asm.rhs_solid
+        rhs_p = np.asarray(rhs.p)[self.cell_idx >= 0]
+        rhs_s = np.concatenate(
+            [np.asarray(rhs.tc[a])[self.cell_idx >= 0] for a in range(3)]
+            + [np.asarray(rhs.te[e])[self.edge_idx[e] >= 0] for e in range(3)]
+        )
+        b_w = np.asarray(self.asm.b_w).ravel()
+        return dict(activeRHS=b_v, oldActiveVs=old_v, pressureRHS=rhs_p, stressRHS=rhs_s, reducedRHS=b_w)
+
+    def schur_matrix(self):
+        """The explicit pressure-stress system (assembleSystemPressureStress,
+        AssembleSystem.cpp:351-430)."""
+        G, Dt, JG, JDt = self.G(), self.Dt(), self.JG(), self.JDt()
+        McInv = self.McInv()
+        BInv = self.BInv()
+        dt = float(self.asm.dt)
+        GD = sp.hstack([G, Dt]).tocsr()
+        A = -dt * (GD.T @ McInv @ GD)
+        if self.R:
+            JGD = sp.hstack([JG, JDt]).tocsr()
+            A = A - JGD.T @ BInv @ JGD
+        zero_p = sp.diags(np.zeros(self.nP))
+        A = A - 0.5 * sp.block_diag([zero_p, self.uInv()])
+        return A.tocsr()
+
+
+def export_component_matrices(prefix: str, ops: ExplicitOperators, fmt: str = "npz"):
+    """exportComponentMatrices parity (Solver.cpp:543-566).  fmt 'npz'
+    bundles everything; fmt 'mtx' writes MatrixMarket files."""
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    mats = dict(
+        Mc=ops.Mc(), McInv=ops.McInv(), u=ops.u(), uInv=ops.uInv(),
+        G=ops.G(), Dt=ops.Dt(), JG=ops.JG(), JDt=ops.JDt(),
+        Mr=ops.Mr(), Inv_Mr_plus_2JDtuDJ=ops.BInv(),
+    )
+    vecs = ops.vectors()
+    if fmt == "mtx":
+        from scipy.io import mmwrite
+
+        for name, m in mats.items():
+            mmwrite(prefix + f"Mat_{name}.mtx", m)
+        for name, v in vecs.items():
+            mmwrite(prefix + f"Vec_{name}.mtx", v.reshape(-1, 1))
+    else:
+        payload = {}
+        for name, m in mats.items():
+            m = m.tocoo()
+            payload[f"{name}_row"] = m.row
+            payload[f"{name}_col"] = m.col
+            payload[f"{name}_val"] = m.data
+            payload[f"{name}_shape"] = np.asarray(m.shape)
+        for name, v in vecs.items():
+            payload[f"Vec_{name}"] = v
+        np.savez_compressed(prefix + "components.npz", **payload)
+
+
+def export_stats(prefix: str, stats: dict):
+    """exportStats parity (Solver.cpp:574-606) as JSON."""
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    out = {k: (float(v) if hasattr(v, "item") else v) for k, v in stats.items()}
+    with open(prefix + "stats.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def export_solution(prefix: str, x, ops: ExplicitOperators):
+    p = np.asarray(x.p)[ops.cell_idx >= 0]
+    s = np.concatenate(
+        [np.asarray(x.tc[a])[ops.cell_idx >= 0] for a in range(3)]
+        + [np.asarray(x.te[e])[ops.edge_idx[e] >= 0] for e in range(3)]
+    )
+    np.savez_compressed(prefix + "solution.npz", pressure=p, stress=s)
+
+
+def load_solution(prefix: str):
+    """readInWarmStart analog (Solver.cpp:621-642)."""
+    d = np.load(prefix + "solution.npz")
+    return d["pressure"], d["stress"]

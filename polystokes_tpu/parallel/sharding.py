@@ -1,0 +1,69 @@
+"""Multi-chip scaling via jax.sharding + GSPMD.
+
+The reference is single-node shared-memory (TBB/OpenMP; SURVEY.md §2.3 —
+no distributed backend exists).  The TPU-native equivalent of its
+intra-node parallelism is SPMD over a device mesh: every field is a dense
+3-D array, so we shard the grid's leading axes over the mesh and let XLA
+insert the halo exchanges (the stencils are pads/shifts) and reductions
+(dots, segment sums) over ICI.  No solver code changes — the same jitted
+step runs on 1 or N chips.
+
+Sharding layout:
+  * cell/face/edge fields: sharded over ('x', 'y') mesh axes on the first
+    two grid dimensions (face/edge arrays have +1 extents; GSPMD handles
+    the uneven remainder with internal padding)
+  * per-region [R, D, D] tensors, COM, best-fit: replicated (tiny)
+  * Krylov scalars: replicated (psum'd by XLA from sharded dots)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axes=("x", "y")):
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    # factor n into a 2-D mesh as square as possible
+    px = int(np.floor(np.sqrt(n)))
+    while n % px:
+        px -= 1
+    shape = (px, n // px)
+    return Mesh(np.asarray(devices).reshape(shape), axes)
+
+
+def scene_shardings(mesh: Mesh):
+    """NamedShardings for a Scene pytree: grid fields over ('x','y')."""
+    grid2d = NamedSharding(mesh, P("x", "y", None))
+    repl = NamedSharding(mesh, P())
+    from ..solver import Scene
+
+    return Scene(
+        surface_sdf=grid2d,
+        collision_sdf=grid2d,
+        velocity=(grid2d, grid2d, grid2d),
+        collision_velocity=(grid2d, grid2d, grid2d),
+        viscosity=grid2d,
+        dt=repl,
+    )
+
+
+def shard_scene(scene, mesh: Mesh):
+    sh = scene_shardings(mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), scene, sh)
+
+
+def sharded_step(grid, params, mesh: Mesh):
+    """A jitted step whose inputs are sharded over the mesh.  XLA/GSPMD
+    partitions the stencil work per shard and inserts ICI halo collectives
+    for the +-1 shifts."""
+    from ..solver import step
+
+    sh = scene_shardings(mesh)
+    return jax.jit(
+        lambda scene: step(grid, scene, params),
+        in_shardings=(sh,),
+    )

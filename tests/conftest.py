@@ -1,14 +1,17 @@
-"""Test harness: run on a virtual 8-device CPU mesh with fp64 enabled.
+"""Test harness: force the CPU backend (8 virtual devices) with fp64.
 
-Env vars must be set before jax initializes.
+The container's sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon (remote TPU compile), so setting os.environ here is too
+late for the env-var path — use jax.config.update, which takes effect as
+long as no backend has been initialized yet.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

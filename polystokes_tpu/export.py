@@ -254,6 +254,128 @@ class ExplicitOperators:
         A = A - 0.5 * sp.block_diag([zero_p, self.uInv()])
         return A.tocsr()
 
+    def B(self):
+        """Mr/dt + 2 Vr per region as block-diagonal sparse
+        (assembleReducedCombinedBlock, AssembleBlocks.cpp:148-193)."""
+        dt = float(self.asm.dt)
+        out = np.asarray(self.asm.mr) / dt + 2.0 * np.asarray(self.asm.vr)
+        return sp.block_diag(list(out)) if self.R else sp.csr_matrix((0, 0))
+
+    def kkt_matrix(self):
+        """The full symmetric indefinite KKT system over
+        [v_active | v_reduced | p | tau]  (assembleSystem,
+        AssembleSystem.cpp:39-115):
+
+          [ Mc/dt        0      G    Dt   ]
+          [ 0      Mr/dt+2V     JG   JDt  ]
+          [ G^T        JG^T     0    0    ]
+          [ Dt^T       JDt^T    0  -uInv/2]
+        """
+        dt = float(self.asm.dt)
+        G, Dt, JG, JDt = self.G(), self.Dt(), self.JG(), self.JDt()
+        Mc = self.Mc() / dt
+        Bblk = self.B()
+        rows = [
+            sp.hstack([Mc, sp.csr_matrix((self.nV, self.nW)), G, Dt]),
+            sp.hstack([sp.csr_matrix((self.nW, self.nV)), Bblk, JG, JDt]),
+            sp.hstack([G.T, JG.T, sp.csr_matrix((self.nP, self.nP + self.nS))]),
+            sp.hstack([Dt.T, JDt.T, sp.csr_matrix((self.nS, self.nP)), -0.5 * self.uInv()]),
+        ]
+        return sp.vstack(rows).tocsr()
+
+    def kkt_rhs(self):
+        """b for the KKT layout: [b_v/dt | b_w/dt | rhs_p | rhs_s]."""
+        dt = float(self.asm.dt)
+        v = self.vectors()
+        return np.concatenate([
+            v["activeRHS"] / dt,
+            v["reducedRHS"] / dt,
+            v["pressureRHS"],
+            v["stressRHS"],
+        ])
+
+    def pressure_velocity_matrix(self):
+        """The velocity-pressure system with stress eliminated
+        (assembleSystemVelocityPressure, AssembleSystem.cpp:281-349):
+
+          [ Mc/dt - V      -VJ^T            G  ]
+          [ -JV^T     Mr/dt+2Vint - JVJ^T   JG ]
+          [ G^T             JG^T            0  ]
+
+        with V = Dt (-2u) Dt^T etc. (assembleVMatrices,
+        AssembleBlocks.cpp:370-375)."""
+        dt = float(self.asm.dt)
+        G, Dt, JG, JDt = self.G(), self.Dt(), self.JG(), self.JDt()
+        u2 = -2.0 * self.u()
+        V = (Dt @ u2 @ Dt.T).tocsr()
+        VJt = (Dt @ u2 @ JDt.T).tocsr()
+        JVJt = (JDt @ u2 @ JDt.T).tocsr()
+        Mc = self.Mc() / dt
+        Bblk = self.B()
+        rows = [
+            sp.hstack([Mc - V, -VJt, G]),
+            sp.hstack([-VJt.T, Bblk - JVJt, JG]),
+            sp.hstack([G.T, JG.T, sp.csr_matrix((self.nP, self.nP))]),
+        ]
+        return sp.vstack(rows).tocsr()
+
+    def guess_vectors(self):
+        """Warm-start guesses (constructGuessVectors, Solver.cpp:521-531):
+        v from the old grid velocities, w from the best fit,
+        p = -G^T v - JG^T w, tau = -2 uInv (-Dt^T v - JDt^T w)."""
+        v = self.vectors()["oldActiveVs"]
+        w = np.asarray(self.asm.best_fit).ravel()
+        G, Dt, JG, JDt = self.G(), self.Dt(), self.JG(), self.JDt()
+        p = -(G.T @ v) - (JG.T @ w)
+        uInv = self.uInv()
+        tau = -2.0 * (uInv @ (-(Dt.T @ v) - (JDt.T @ w)))
+        return v, w, p, tau
+
+
+def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, scheme: str = "pressure_stress", tol: float = None, maxiter: int = None, warm_start: bool = True):
+    """Host-side explicit solve — the analog of the reference's EIGEN
+    SolverType (solveEigenCG, Solver.cpp:814-862): assemble the chosen
+    scheme's sparse system and run scipy CG with the warm-start guess."""
+    import scipy.sparse.linalg as spla
+
+    ops = ExplicitOperators(grid, cls, asm, params)
+    tol = params.tolerance if tol is None else tol
+    maxiter = params.max_iterations if maxiter is None else maxiter
+    vg, wg, pg, tg = ops.guess_vectors() if warm_start else (None,) * 4
+
+    if scheme == "pressure_stress":
+        A = ops.schur_matrix()
+        v = ops.vectors()
+        dt = float(asm.dt)
+        McInv = ops.McInv()
+        G, Dt, JG, JDt = ops.G(), ops.Dt(), ops.JG(), ops.JDt()
+        BInv = ops.BInv()
+        z = BInv @ v["reducedRHS"] / dt if ops.R else np.zeros(0)
+        b1 = -(G.T @ (McInv @ v["activeRHS"])) + v["pressureRHS"]
+        b2 = -(Dt.T @ (McInv @ v["activeRHS"])) + v["stressRHS"]
+        if ops.R:
+            b1 = b1 - JG.T @ z
+            b2 = b2 - JDt.T @ z
+        b = np.concatenate([b1, b2])
+        x0 = np.concatenate([pg, tg]) if warm_start else None
+    elif scheme == "all_dofs":
+        A = ops.kkt_matrix()
+        b = ops.kkt_rhs()
+        x0 = np.concatenate([vg, wg, pg, tg]) if warm_start else None
+    elif scheme == "pressure_velocity":
+        A = ops.pressure_velocity_matrix()
+        dt = float(asm.dt)
+        v = ops.vectors()
+        b = np.concatenate([v["activeRHS"] / dt, v["reducedRHS"] / dt, np.zeros(ops.nP)])
+        x0 = np.concatenate([vg, wg, pg]) if warm_start else None
+    else:
+        raise ValueError(scheme)
+
+    x, info = spla.cg(A, b, x0=x0, rtol=tol, maxiter=maxiter)
+    if info != 0:
+        x, info = spla.minres(A, b, x0=x, rtol=tol, maxiter=maxiter)
+    return x, ops, info
+
 
 def export_component_matrices(prefix: str, ops: ExplicitOperators, fmt: str = "npz"):
     """exportComponentMatrices parity (Solver.cpp:543-566).  fmt 'npz'

@@ -64,6 +64,9 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
     z = precond(r)
     p = z
     rsold = tree_dot(r, z)
+    # a zero right-hand side (e.g. fluid at rest) is already converged;
+    # entering the loop would produce 0/0
+    trivially_done = tree_dot(r, r) == 0
 
     def cond(st):
         x, r, p, rsold, k, rre, done = st
@@ -72,7 +75,8 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
     def body(st):
         x, r, p, rsold, k, _, _ = st
         Ap = apply_A(p)
-        alpha = rsold / tree_dot(p, Ap)
+        pAp = tree_dot(p, Ap)
+        alpha = rsold / jnp.where(pAp != 0, pAp, 1.0)
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, Ap, r)
         rsnew_rr = tree_dot(r, r)
@@ -86,10 +90,10 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
         return x, r, p, rs, k + 1, rre, done
 
     k0 = jnp.int32(0)
-    rre0 = jnp.asarray(jnp.inf, dtype=jnp.result_type(rsold))
-    st = jax.lax.while_loop(cond, body, (x0, r, p, rsold, k0, rre0, jnp.bool_(False)))
+    rre0 = jnp.where(trivially_done, jnp.asarray(0.0, jnp.result_type(rsold)), jnp.asarray(jnp.inf, jnp.result_type(rsold)))
+    st = jax.lax.while_loop(cond, body, (x0, r, p, rsold, k0, rre0, trivially_done))
     x, r, p, rsold, k, rre, done = st
-    iters = jnp.where(done, k - 1, k)
+    iters = jnp.where(done, jnp.maximum(k - 1, 0), k)
     return KrylovResult(x=x, iterations=iters, error=jnp.sqrt(rre), converged=done)
 
 

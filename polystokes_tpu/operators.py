@@ -157,6 +157,7 @@ class Assembled:
     com: jnp.ndarray  # [R, 3] center of mass, cell units
     binv: jnp.ndarray  # [R, D, D]  inv(Mr/dt + 2 * Vr)
     mr: jnp.ndarray  # [R, D, D]
+    vr: jnp.ndarray  # [R, D, D] interior Galerkin viscosity
     best_fit: jnp.ndarray  # [R, D]
     b_w: jnp.ndarray  # [R, D] = Mr @ best_fit
     region_valid: jnp.ndarray  # [R] bool

@@ -201,6 +201,7 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
         com=rd.com,
         binv=rd.binv,
         mr=rd.mr,
+        vr=rd.vr,
         best_fit=rd.best_fit,
         b_w=rd.b_w,
         region_valid=cls.region_valid,
@@ -320,9 +321,13 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
         te=tuple(jnp.zeros_like(asm.uinv_e[e]) for e in range(3)),
     )
 
+    from .precond import make_preconditioner
+
+    precond = make_preconditioner(grid, cls, asm, params)
+
     if params.do_solve:
         if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
-            res = krylov.pcg(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+            res = krylov.pcg(apply_A, b, x0, precond=precond, tol=params.tolerance, max_iters=params.max_iterations)
             if params.bicgstab_fallback:
                 def _fallback(_):
                     return krylov.bicgstab(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)

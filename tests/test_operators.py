@@ -193,7 +193,9 @@ def test_solve_matches_direct():
 
     from polystokes_tpu import krylov
 
-    apply_A = make_apply(grid, cls, asm, params, R)
+    import jax
+
+    apply_A = jax.jit(make_apply(grid, cls, asm, params, R))
     b_mine = build_rhs(grid, cls, asm, params, R)
     x0 = PTau.zeros_like(b_mine)
     res = krylov.pcg(apply_A, b_mine, x0, tol=params.tolerance, max_iters=params.max_iterations)

@@ -256,9 +256,14 @@ class ExplicitOperators:
 
     def B(self):
         """Mr/dt + 2 Vr per region as block-diagonal sparse
-        (assembleReducedCombinedBlock, AssembleBlocks.cpp:148-193)."""
+        (assembleReducedCombinedBlock, AssembleBlocks.cpp:148-193).
+        Invalid region slots get identity blocks so the KKT system stays
+        nonsingular (their coefficients decouple to zero)."""
         dt = float(self.asm.dt)
         out = np.asarray(self.asm.mr) / dt + 2.0 * np.asarray(self.asm.vr)
+        valid = np.asarray(self.asm.region_valid)
+        eye = np.eye(self.D)
+        out = np.where(valid[:, None, None], out, eye)
         return sp.block_diag(list(out)) if self.R else sp.csr_matrix((0, 0))
 
     def kkt_matrix(self):

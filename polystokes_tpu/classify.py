@@ -278,6 +278,55 @@ def fix_region_boundaries(labels, region_ids, max_iters: int):
     return jax.lax.fori_loop(0, max_iters, body, (labels, region_ids))
 
 
+def cube_shape(res, tile_size: int):
+    return tuple(-(-n // tile_size) for n in res)
+
+
+def cell_cube_ids(shape, tile_size: int):
+    """Flattened tile-cube id per cell."""
+    cs = cube_shape(shape, tile_size)
+    idx = None
+    for a in range(3):
+        c = (jnp.arange(shape[a], dtype=jnp.int32) // tile_size).reshape(
+            [-1 if i == a else 1 for i in range(3)]
+        )
+        idx = c if idx is None else idx * cs[a] + c
+    return idx, cs
+
+
+def enforce_one_region_per_cube(labels, region_ids, region_valid, tile_size: int, max_regions: int):
+    """With tiling on, every region is confined to one tile cube (the
+    padding slabs separate cubes), but a cube's interior can contain
+    several disconnected components.  Keep only the lowest-id region per
+    cube and demote the rest to ACTIVEFLUID.  This enables the dense
+    per-cube (scatter-free) reduction path while keeping the Galerkin
+    spaces exact; the reference would keep the extra components as
+    separate regions — here they simply stay uniform DOFs."""
+    red = labels == REDUCED
+    cubes, cs = cell_cube_ids(labels.shape, tile_size)
+    ncubes = cs[0] * cs[1] * cs[2]
+    seg = jnp.where(red, cubes, ncubes).ravel()
+    big = jnp.int32(2**30)
+    reg_flat = jnp.where(red, region_ids, big).ravel()
+    cube_min = jax.ops.segment_min(reg_flat, seg, num_segments=ncubes + 1)[:ncubes]
+    keep_reg = cube_min[cubes]  # per-cell: the cube's kept region id
+    demote = red & (region_ids != keep_reg)
+    labels = jnp.where(demote, ACTIVEFLUID, labels)
+    region_ids = jnp.where(demote, INVALID_REGION, region_ids)
+
+    # recompute validity: a region survives iff it still has cells
+    red2 = labels == REDUCED
+    seg_r = jnp.where(red2, region_ids, max_regions).ravel()
+    present = jax.ops.segment_max(
+        jnp.where(red2, 1, 0).ravel(), seg_r, num_segments=max_regions + 1
+    )[:max_regions]
+    region_valid = region_valid & (present > 0)
+
+    # region slot per cube (-1 when the cube has no region)
+    region_of_cube = jnp.where(cube_min < big, cube_min, INVALID_REGION)
+    return labels, region_ids, region_valid, region_of_cube
+
+
 def fix_small_regions(labels, region_ids, region_valid, max_regions: int):
     """Remove regions thinner than 4 cells in any axis (reference keeps a
     region only if bbox extent >= 4: `min > max-3` -> remove)."""
@@ -479,6 +528,7 @@ class Classification:
     region_valid: jnp.ndarray  # [max_regions]
     n_regions: jnp.ndarray  # scalar int32
     region_overflow: jnp.ndarray  # scalar bool
+    region_of_cube: jnp.ndarray  # [ncubes] region slot per tile cube (tiled)
 
 
 jax.tree_util.register_dataclass(
@@ -486,7 +536,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "cell_labels", "face_labels", "edge_labels", "cell_region",
         "face_region", "edge_region", "region_valid", "n_regions",
-        "region_overflow",
+        "region_overflow", "region_of_cube",
     ],
     meta_fields=[],
 )
@@ -524,6 +574,12 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
         cell_region, region_valid, n_regions, overflow = compact_regions(comp, max_regions)
         cell_labels, cell_region = fix_region_boundaries(cell_labels, cell_region, params.region_fix_max_iters)
         cell_labels, cell_region, region_valid = fix_small_regions(cell_labels, cell_region, region_valid, max_regions)
+        if params.do_tile:
+            cell_labels, cell_region, region_valid, region_of_cube = enforce_one_region_per_cube(
+                cell_labels, cell_region, region_valid, params.tile_size, max_regions
+            )
+        else:
+            region_of_cube = jnp.zeros((1,), jnp.int32) - 1
         n_regions = jnp.sum(region_valid).astype(jnp.int32)
 
         fl, fr = [], []
@@ -547,6 +603,7 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
         region_valid = jnp.zeros((max_regions,), dtype=bool)
         n_regions = jnp.int32(0)
         overflow = jnp.bool_(False)
+        region_of_cube = jnp.zeros((1,), jnp.int32) - 1
 
     # Remaining GENERICFLUID faces/edges/cells become ACTIVEFLUID
     # (construct*ActiveIndices, Classifier.cpp:257-284).
@@ -564,4 +621,5 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
         region_valid=region_valid,
         n_regions=n_regions,
         region_overflow=overflow,
+        region_of_cube=region_of_cube,
     )

@@ -36,19 +36,27 @@ QUADRATIC_DOF = 26
 AFFINE_DOF = 11
 
 
-def conversion_coefficients(offset: jnp.ndarray, axis: int, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:
+def conversion_coefficients(offset: jnp.ndarray, axis: int, basis: BasisOrder = BasisOrder.QUADRATIC, stack_axis: int = -1) -> jnp.ndarray:
     """Basis row for a velocity sample.
 
     Args:
       offset: (..., 3) offsets from the region center of mass (cell units).
       axis: velocity component (0, 1, 2).
+      stack_axis: where the D axis goes.  TPU NOTE: trailing tiny axes pad
+        to the 128-lane tile; for big grids prefer stack_axis=0 (leading D
+        batches cleanly).
 
     Returns:
-      (..., REDUCED_DOF) coefficient vectors.
+      coefficient vectors with the D axis at `stack_axis`.
     """
-    x = offset[..., 0]
-    y = offset[..., 1]
-    z = offset[..., 2]
+    return conversion_coefficients_xyz(
+        offset[..., 0], offset[..., 1], offset[..., 2], axis, basis, stack_axis
+    )
+
+
+def conversion_coefficients_xyz(x, y, z, axis: int, basis: BasisOrder = BasisOrder.QUADRATIC, stack_axis: int = -1) -> jnp.ndarray:
+    """Like conversion_coefficients but with separate coordinate arrays
+    (avoids materializing a (..., 3) tensor, which TPU tiling pads 42x)."""
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
 
@@ -79,7 +87,7 @@ def conversion_coefficients(offset: jnp.ndarray, axis: int, basis: BasisOrder = 
         else:
             cols = [zero, zero, one, -z, zero, zero, zero, -z, zero, x, y]
 
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=stack_axis)
 
 
 def evaluate_velocity(offset: jnp.ndarray, axis: int, w: jnp.ndarray, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:

@@ -36,17 +36,26 @@ def make_mesh(devices: Optional[Sequence] = None, axes=("x", "y")):
 
 
 def scene_shardings(mesh: Mesh):
-    """NamedShardings for a Scene pytree: grid fields over ('x','y')."""
-    grid2d = NamedSharding(mesh, P("x", "y", None))
+    """NamedShardings for a Scene pytree.
+
+    Cell fields shard over the first two grid axes; a face-axis array has
+    an odd (n+1) extent along its own axis, so each face family shards
+    over its two cell-like axes instead."""
+    cell = NamedSharding(mesh, P("x", "y", None))
+    face = (
+        NamedSharding(mesh, P(None, "x", "y")),
+        NamedSharding(mesh, P("x", None, "y")),
+        NamedSharding(mesh, P("x", "y", None)),
+    )
     repl = NamedSharding(mesh, P())
     from ..solver import Scene
 
     return Scene(
-        surface_sdf=grid2d,
-        collision_sdf=grid2d,
-        velocity=(grid2d, grid2d, grid2d),
-        collision_velocity=(grid2d, grid2d, grid2d),
-        viscosity=grid2d,
+        surface_sdf=cell,
+        collision_sdf=cell,
+        velocity=face,
+        collision_velocity=face,
+        viscosity=cell,
         dt=repl,
     )
 

@@ -22,20 +22,19 @@ import jax.numpy as jnp
 from .classify import REDUCED
 from .config import PreconditionerType, SolverParams
 from .operators import Assembled, PTau, face_at_cell, scatter_face_to_edge
-from .reduced import _face_basis, gather_com
+from .reduced import _face_basis_leading, gather_com
 
 
 def _diag_quadratic_form(grid, cls, asm, params, a):
     """q_f = c_f^T BInv[r_f] c_f per face of axis a (0 on non-reduced)."""
     reg = cls.face_region[a]
     red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
-    com_at = gather_com(asm.com, reg)
-    C = _face_basis(grid, com_at, a, params, reg.shape)
+    C = _face_basis_leading(cls, asm.com, a, params)
     safe = jnp.clip(reg, 0, asm.binv.shape[0] - 1)
 
     shape = reg.shape
-    D = C.shape[-1]
-    Cf = C.reshape(-1, D)
+    D = C.shape[0]
+    Cf = C.reshape(D, -1).T
     rf = safe.reshape(-1)
     # chunked gather of BInv so the [N, D, D] intermediate stays small
     chunk = 1 << 15

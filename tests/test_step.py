@@ -153,7 +153,10 @@ def test_uniform_vs_reduced_ab():
 
 
 def test_keep_non_converged_semantics():
-    grid, scene = sphere_scene()
+    grid, _ = sphere_scene()
+    rng = np.random.default_rng(5)
+    vel = tuple(jnp.asarray(rng.standard_normal(grid.face_shape(a))) for a in range(3))
+    grid, scene = sphere_scene(velocity=vel)
     params = small_params(max_iterations=2, tolerance=1e-14, keep_non_converged=False, bicgstab_fallback=False)
     out, valid, stats = step(grid, scene, params)
     assert not bool(stats["converged"])

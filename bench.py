@@ -6,10 +6,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, ...}
 
 vs_baseline compares against a reference-equivalent CPU solve: the same
-pressure-stress system assembled explicitly (scipy CSR, like the
-reference's Eigen path with EIGEN_DONT_VECTORIZE) driven by the same CG,
-timed per-iteration and extrapolated to the TPU run's iteration count.
-The CPU baseline is computed once and cached in .bench_cpu_baseline.json.
+component operators assembled as scipy CSR and applied in the reference's
+factored matrix-free form (ApplyPressureStressMatrix.h:102-179 — three
+SpMV groups per CG iteration), timed per-iteration and extrapolated to the
+TPU run's iteration count, plus the measured CPU setup (weights ->
+classify -> assemble -> explicit blocks).  Cached in
+.bench_cpu_baseline.json.
 """
 import json
 import os
@@ -21,6 +23,7 @@ import numpy as np
 
 def main():
     n = int(os.environ.get("BENCH_N", "128"))
+    iters_cap = int(os.environ.get("BENCH_MAX_ITERS", "1500"))
     import jax
     import jax.numpy as jnp
 
@@ -34,20 +37,20 @@ def main():
         tile_size=16,
         tile_padding=2,
         tolerance=1e-3,  # reference default; criterion rre < tol^2
-        max_iterations=2000,
+        max_iterations=iters_cap,
         bicgstab_fallback=False,
     )
     grid, scene = honey_coil(n=n, dtype=jnp.float32)
 
     fn = jax.jit(lambda s: step(grid, s, params))
-    # warm-up / compile
     t0 = time.perf_counter()
     vel, valid, stats = fn(scene)
     jax.block_until_ready(vel)
     compile_and_first = time.perf_counter() - t0
+    print(f"compile+first: {compile_and_first:.1f}s", file=sys.stderr, flush=True)
 
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         vel, valid, stats = fn(scene)
         jax.block_until_ready(vel)
@@ -55,8 +58,10 @@ def main():
     step_time = min(times)
     iters = int(stats["iterations"])
     err = float(stats["error"])
+    print(f"tpu step: {step_time:.3f}s iters={iters} err={err:.3e}", file=sys.stderr, flush=True)
 
-    vs_baseline = _cpu_baseline(n, grid, scene, params, iters) / step_time
+    cpu_s = _cpu_baseline(n, grid, scene, params, iters)
+    vs_baseline = cpu_s / step_time if np.isfinite(cpu_s) else float("nan")
 
     out = {
         "metric": f"honey_coil {n}^3 tiled-reduced Stokes step wall-clock",
@@ -66,6 +71,7 @@ def main():
         "iterations": iters,
         "error": err,
         "n_regions": int(stats["n_regions"]),
+        "cpu_baseline_s": round(cpu_s, 2) if np.isfinite(cpu_s) else None,
         "compile_s": round(compile_and_first, 1),
         "device": str(jax.devices()[0]),
     }
@@ -73,21 +79,18 @@ def main():
 
 
 def _cpu_baseline(n, grid, scene, params, tpu_iters):
-    """Reference-equivalent CPU wall-clock for the same step (cached)."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
-    key = f"honey_coil_{n}"
+    key = f"honey_coil_{n}_it{tpu_iters}"
+    data = {}
     if os.path.exists(cache):
         with open(cache) as f:
             data = json.load(f)
         if key in data:
             return data[key]
-    else:
-        data = {}
-
     try:
         t = _measure_cpu(n, grid, scene, params, tpu_iters)
     except Exception as e:  # noqa: BLE001
-        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        print(f"cpu baseline failed: {e}", file=sys.stderr, flush=True)
         t = float("nan")
     data[key] = t
     with open(cache, "w") as f:
@@ -96,41 +99,59 @@ def _cpu_baseline(n, grid, scene, params, tpu_iters):
 
 
 def _measure_cpu(n, grid, scene, params, tpu_iters):
+    """Reference-equivalent CPU wall-clock: setup (weights -> classify ->
+    assemble -> sparse blocks) + per-iteration factored matrix-free apply
+    (the reference's hot kernel) extrapolated to the TPU iteration count."""
     import time as _t
 
     import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
-
-    import jax.numpy as jnp
 
     from polystokes_tpu.classify import classify, effective_max_regions
     from polystokes_tpu.export import ExplicitOperators
-    from polystokes_tpu.solver import assemble, build_rhs
+    from polystokes_tpu.solver import assemble
     from polystokes_tpu.weights import compute_weights
 
     R = effective_max_regions(grid, params)
-    t_setup0 = _t.perf_counter()
+    t0 = _t.perf_counter()
     lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
     cls = classify(grid, lw, fw, params)
     asm, rd = assemble(grid, scene, cls, lw, fw, params, R)
     ops = ExplicitOperators(grid, cls, asm, params)
-    A = ops.schur_matrix()
-    t_setup = _t.perf_counter() - t_setup0
+    G, Dt, JG, JDt = ops.G(), ops.Dt(), ops.JG(), ops.JDt()
+    Gt, Dtt, JGt, JDtt = (G.T.tocsr(), Dt.T.tocsr(), JG.T.tocsr(), JDt.T.tocsr())
+    mcinv = ops.McInv().diagonal()
+    uinv = ops.uInv().diagonal()
+    binv = np.asarray(asm.binv)
+    dt = float(asm.dt)
+    t_setup = _t.perf_counter() - t0
+    print(f"cpu setup: {t_setup:.1f}s", file=sys.stderr, flush=True)
 
-    x = np.random.default_rng(0).standard_normal(A.shape[0]).astype(np.float64)
-    # time the CG hot loop: 1 SpMV + ~5 BLAS1 per iteration
-    niter_sample = 25
+    rng = np.random.default_rng(0)
+    p = rng.standard_normal(ops.nP)
+    tau = rng.standard_normal(ops.nS)
+    D = ops.D
+
+    def apply_ps(p, tau):
+        s = G @ p + Dt @ tau
+        ms = mcinv * s
+        out_p = -dt * (Gt @ ms)
+        out_t = -dt * (Dtt @ ms) - 0.5 * uinv * tau
+        y = (JG @ p + JDt @ tau).reshape(-1, D)
+        w = np.einsum("rij,rj->ri", binv, y).reshape(-1)
+        out_p -= JGt @ w
+        out_t -= JDtt @ w
+        return out_p, out_t
+
+    niter = 20
     t0 = _t.perf_counter()
-    r = x.copy()
-    p = x.copy()
-    for _ in range(niter_sample):
-        Ap = A @ p
-        alpha = r.dot(p) / max(p.dot(Ap), 1e-30)
-        xn = x + alpha * p
-        r = r - alpha * Ap
-        rs = r.dot(r)
-        p = r + (rs / max(rs, 1e-30)) * p
-    per_iter = (_t.perf_counter() - t0) / niter_sample
+    for _ in range(niter):
+        op, ot = apply_ps(p, tau)
+        # BLAS1 work of a CG iteration (x/r/p updates + 3 dots)
+        alpha = (p @ op + tau @ ot) or 1.0
+        p = p + 1e-3 * op / alpha
+        tau = tau + 1e-3 * ot / alpha
+    per_iter = (_t.perf_counter() - t0) / niter
+    print(f"cpu per-iter: {per_iter*1e3:.1f}ms", file=sys.stderr, flush=True)
     return t_setup + per_iter * max(tpu_iters, 1)
 
 

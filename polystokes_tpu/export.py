@@ -412,6 +412,36 @@ def export_component_matrices(prefix: str, ops: ExplicitOperators, fmt: str = "n
         np.savez_compressed(prefix + "components.npz", **payload)
 
 
+def export_grids(prefix: str, cls: Classification, liquid_w=None, fluid_w=None):
+    """Dump every label/region/weight grid to one npz — the analog of the
+    reference's printAllData point-cloud dumps (Solver.cpp:1031-1268)."""
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    payload = {"cell_labels": np.asarray(cls.cell_labels), "cell_region": np.asarray(cls.cell_region)}
+    for a in range(3):
+        payload[f"face{a}_labels"] = np.asarray(cls.face_labels[a])
+        payload[f"face{a}_region"] = np.asarray(cls.face_region[a])
+    for e in range(3):
+        payload[f"edge{e}_labels"] = np.asarray(cls.edge_labels[e])
+        payload[f"edge{e}_region"] = np.asarray(cls.edge_region[e])
+    for name, w in (("liquid", liquid_w), ("fluid", fluid_w)):
+        if w is not None:
+            for k, v in w.items():
+                payload[f"{name}_{k}"] = np.asarray(v)
+    np.savez_compressed(prefix + "grids.npz", **payload)
+
+
+def extract_residuals(grid: Grid, cls: Classification, asm, x, b, params: SolverParams, R: int):
+    """r = b - A x on the (p, tau) fields — the analog of
+    extractResiduals (Solver.cpp:864-918), returned as grid fields."""
+    from .solver import make_apply
+
+    apply_A = make_apply(grid, cls, asm, params, R)
+    ax = apply_A(x)
+    import jax
+
+    return jax.tree.map(lambda bi, ai: bi - ai, b, ax)
+
+
 def export_stats(prefix: str, stats: dict):
     """exportStats parity (Solver.cpp:574-606) as JSON."""
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)

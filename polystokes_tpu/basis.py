@@ -90,6 +90,70 @@ def conversion_coefficients_xyz(x, y, z, axis: int, basis: BasisOrder = BasisOrd
     return jnp.stack(cols, axis=stack_axis)
 
 
+QUADRATIC_MONOMIALS = 10  # [1, x, y, z, x^2, xy, xz, y^2, yz, z^2]
+AFFINE_MONOMIALS = 4  # [1, x, y, z]
+
+
+def monomials_xyz(x, y, z, basis: BasisOrder = BasisOrder.QUADRATIC):
+    """The monomial list spanning every basis row (cheap to recompute on
+    the fly — used so the hot loop never materializes [.., D] tensors)."""
+    if basis == BasisOrder.QUADRATIC:
+        one = jnp.ones_like(x)
+        return [one, x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
+    return [jnp.ones_like(x), x, y, z]
+
+
+def monomial_matrix(axis: int, basis: BasisOrder = BasisOrder.QUADRATIC):
+    """Constant [D, K] combination matrix A with
+    conversion_coefficients(o, axis)[d] == sum_k A[d, k] * m_k(o)."""
+    import numpy as np
+
+    if basis == BasisOrder.QUADRATIC:
+        A = np.zeros((QUADRATIC_DOF, QUADRATIC_MONOMIALS))
+        if axis == 0:
+            A[0, 0] = 1.0
+            for i in range(9):
+                A[3 + i, 1 + i] = 1.0
+        elif axis == 1:
+            A[1, 0] = 1.0
+            for i in range(9):
+                A[12 + i, 1 + i] = 1.0
+        else:
+            A[2, 0] = 1.0
+            A[3, 3] = -1.0
+            A[6, 6] = -2.0
+            A[7, 8] = -1.0
+            A[8, 9] = -0.5
+            A[13, 3] = -1.0
+            A[16, 6] = -1.0
+            A[18, 8] = -2.0
+            A[19, 9] = -0.5
+            A[21, 1] = 1.0
+            A[22, 2] = 1.0
+            A[23, 4] = 1.0
+            A[24, 5] = 1.0
+            A[25, 7] = 1.0
+        return A
+    A = np.zeros((AFFINE_DOF, AFFINE_MONOMIALS))
+    if axis == 0:
+        A[0, 0] = 1.0
+        A[3, 1] = 1.0
+        A[4, 2] = 1.0
+        A[5, 3] = 1.0
+    elif axis == 1:
+        A[1, 0] = 1.0
+        A[6, 1] = 1.0
+        A[7, 2] = 1.0
+        A[8, 3] = 1.0
+    else:
+        A[2, 0] = 1.0
+        A[3, 3] = -1.0
+        A[7, 3] = -1.0
+        A[9, 1] = 1.0
+        A[10, 2] = 1.0
+    return A
+
+
 def evaluate_velocity(offset: jnp.ndarray, axis: int, w: jnp.ndarray, basis: BasisOrder = BasisOrder.QUADRATIC) -> jnp.ndarray:
     """u_axis at `offset` for region coefficients w (..., REDUCED_DOF)."""
     c = conversion_coefficients(offset, axis, basis)

@@ -97,6 +97,47 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
     return KrylovResult(x=x, iterations=iters, error=jnp.sqrt(rre), converged=done)
 
 
+def flex_pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000):
+    """Flexible PCG with the Polak-Ribiere beta (flex_pcg, pcg.h:81-132):
+    tolerates nonstationary preconditioners (e.g. inner smoother sweeps).
+    NOTE: this variant's convergence test uses rre = min(||r||^2,
+    ||r||^2/||x||) < tol, matching the reference literally."""
+    if precond is None:
+        precond = lambda r: r
+
+    r = jax.tree.map(jnp.subtract, b, apply_A(x0))
+    z = precond(r)
+    p = z
+    trivially_done = tree_dot(r, r) == 0
+
+    def cond(st):
+        x, r, p, zold, rold, k, rre, done = st
+        return (~done) & (k < max_iters)
+
+    def body(st):
+        x, r, p, zold, rold, k, _, _ = st
+        Ap = apply_A(p)
+        pAp = tree_dot(p, Ap)
+        alpha = tree_dot(rold, zold) / jnp.where(pAp != 0, pAp, 1.0)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, Ap, r)
+        rsnew = tree_dot(r, r)
+        xmag = jnp.sqrt(tree_dot(x, x))
+        rre = jnp.minimum(rsnew, jnp.where(xmag > 0, rsnew / jnp.where(xmag > 0, xmag, 1.0), rsnew))
+        done = rre < tol
+        z = precond(r)
+        beta = tree_dot(r, jax.tree.map(jnp.subtract, z, zold)) / tree_dot(rold, zold)
+        p = tree_axpy(beta, p, z)
+        return x, r, p, z, r, k + 1, rre, done
+
+    dt = jnp.result_type(tree_dot(b, b))
+    rre0 = jnp.where(trivially_done, jnp.asarray(0.0, dt), jnp.asarray(jnp.inf, dt))
+    st = jax.lax.while_loop(cond, body, (x0, r, p, z, r, jnp.int32(0), rre0, trivially_done))
+    x, r, p, z, rold, k, rre, done = st
+    iters = jnp.where(done, jnp.maximum(k - 1, 0), k)
+    return KrylovResult(x=x, iterations=iters, error=jnp.sqrt(jnp.maximum(rre, 0.0)), converged=done)
+
+
 def bicgstab(apply_A: Callable, b, x0, tol: float = 1e-3, max_iters: int = 5000):
     """BiCGStab fallback, semantics of bicgstab_external_matrix_A
     (pcg.h:135-200) — including its explicit-residual convergence check

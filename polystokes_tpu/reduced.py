@@ -378,21 +378,18 @@ def finalize_reduced(rd: ReducedData, valid, dt, dtype, D):
 # Tiled J coupling (scatter-free)
 # ---------------------------------------------------------------------------
 
-def _cube_basis(grid: Grid, cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
-    """[ncubes, D, T^3] basis rows for every face slot of every cube."""
+def _cube_face_offsets(grid: Grid, cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
+    """(ox, oy, oz) offsets from the region COM for every face slot of
+    every cube, each [ncubes, T^3]."""
     dtype = params.dtype
     nc = cs[0] * cs[1] * cs[2]
     t3 = T * T * T
-    corner = [
-        (jnp.arange(c, dtype=dtype) * T) for c in cs
-    ]
-    # cube corner per flattened cube, each [nc]
+    corner = [(jnp.arange(c, dtype=dtype) * T) for c in cs]
     gx, gy, gz = jnp.meshgrid(*corner, indexing="ij")
     corner_flat = [gx.reshape(nc), gy.reshape(nc), gz.reshape(nc)]
     l = jnp.arange(T, dtype=dtype)
     lx, ly, lz = jnp.meshgrid(l, l, l, indexing="ij")
     local = [lx.reshape(t3), ly.reshape(t3), lz.reshape(t3)]
-    off = face_offsets(axis)
     # +1 - 0.5 = +0.5 along the face axis (face index cube*T + local + 1)
     shift_axis = [0.0, 0.0, 0.0]
     shift_axis[axis] = 0.5
@@ -402,10 +399,25 @@ def _cube_basis(grid: Grid, cls: Classification, com, axis: int, params: SolverP
     for i in range(3):
         com_i = jnp.where(ok, com[safe, i], 0.0)
         coords.append(corner_flat[i][:, None] + local[i][None, :] + shift_axis[i] - com_i[:, None])
-    return conversion_coefficients_xyz(coords[0], coords[1], coords[2], axis, params.basis, stack_axis=1)
+    return coords
+
+
+def _cube_basis(grid: Grid, cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
+    """[ncubes, D, T^3] basis rows for every face slot of every cube.
+    (Kept for verification; the hot paths use the monomial factorization
+    below, which never materializes the D axis per face.)"""
+    ox, oy, oz = _cube_face_offsets(grid, cls, com, axis, params, T, cs)
+    return conversion_coefficients_xyz(ox, oy, oz, axis, params.basis, stack_axis=1)
 
 
 def reduce_J_tiled(grid: Grid, cls: Classification, com, s_faces, params: SolverParams, R: int):
+    """y = J x, monomial-factored:  C^a = A^a M  with A^a a constant
+    [D, K] matrix and M the K monomials of the face offsets.  Per axis we
+    reduce K moments  mu[c, k] = sum_t s * m_k  (the monomials are
+    recomputed on the fly from iota — no HBM traffic) and combine
+    y += mu A^T."""
+    from .basis import monomial_matrix, monomials_xyz
+
     T = params.tile_size
     cs = tuple(-(-n // T) for n in grid.res)
     nc = cs[0] * cs[1] * cs[2]
@@ -416,20 +428,30 @@ def reduce_J_tiled(grid: Grid, cls: Classification, com, s_faces, params: Solver
         red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
         s = jnp.where(red, s_faces[a], 0.0)
         blocks = _family_blocks(s, (a,), T, cs)
-        C = _cube_basis(grid, cls, com, a, params, T, cs)
-        y_cube = y_cube + jnp.einsum("cdt,ct->cd", C, blocks)
+        ox, oy, oz = _cube_face_offsets(grid, cls, com, a, params, T, cs)
+        mono = monomials_xyz(ox, oy, oz, params.basis)
+        mu = jnp.stack([jnp.sum(blocks * m, axis=1) for m in mono], axis=-1)  # [nc, K]
+        A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
+        y_cube = y_cube + mu @ A.T
     return _cube_scatter(y_cube, cls.region_of_cube, R)
 
 
 def expand_J_tiled(grid: Grid, cls: Classification, com, w, params: SolverParams):
+    """u = J^T w rows, monomial-factored: v = w A per cube, then
+    u = sum_k v_k m_k elementwise (fused with the monomial computation)."""
+    from .basis import monomial_matrix, monomials_xyz
+
     T = params.tile_size
     cs = tuple(-(-n // T) for n in grid.res)
     safe = jnp.clip(cls.region_of_cube, 0, w.shape[0] - 1)
     w_cube = jnp.where((cls.region_of_cube >= 0)[:, None], w[safe], 0.0)
     out = []
     for a in range(3):
-        C = _cube_basis(grid, cls, com, a, params, T, cs)
-        u = jnp.einsum("cdt,cd->ct", C, w_cube)
+        A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
+        v = w_cube @ A  # [nc, K]
+        ox, oy, oz = _cube_face_offsets(grid, cls, com, a, params, T, cs)
+        mono = monomials_xyz(ox, oy, oz, params.basis)
+        u = sum(v[:, k : k + 1] * mono[k] for k in range(len(mono)))
         fshape = cls.face_region[a].shape
         u_face = _blocks_to_grid(u, (a,), T, cs, fshape)
         red = (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)

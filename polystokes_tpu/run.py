@@ -1,0 +1,132 @@
+"""CLI driver: run one or more Stokes solves on a built-in scene.
+
+    python -m polystokes_tpu.run --scene honey_coil --n 64 --steps 1 \
+        --tile-size 16 --tile-padding 2 --tolerance 1e-3 \
+        [--uniform] [--params params.json] [--export-prefix out/run.] \
+        [--checkpoint out/ck.npz] [--resume out/ck.npz] [--profile]
+
+The analog of driving the reference node from a Houdini scene: the same
+knobs (exec/HDK_PolyStokes.C:86-220) exposed as flags, stats printed per
+step (printStats parity), optional operator/grid export and checkpointing.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="honey_coil", help="scene builder name")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--viscosity", type=float, default=None)
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--tile-padding", type=int, default=2)
+    p.add_argument("--liquid-band", type=int, default=2)
+    p.add_argument("--solid-band", type=int, default=2)
+    p.add_argument("--tolerance", type=float, default=1e-3)
+    p.add_argument("--max-iterations", type=int, default=5000)
+    p.add_argument("--uniform", action="store_true", help="disable reduced regions")
+    p.add_argument("--no-tile", action="store_true")
+    p.add_argument("--affine", action="store_true", help="11-DOF affine basis")
+    p.add_argument("--fp64", action="store_true")
+    p.add_argument("--diag-precond", action="store_true")
+    p.add_argument("--params", help="JSON file overriding SolverParams")
+    p.add_argument("--export-prefix", help="export grids/components/stats with this prefix")
+    p.add_argument("--export-mtx", action="store_true", help="MatrixMarket instead of npz")
+    p.add_argument("--checkpoint", help="write a checkpoint npz after the run")
+    p.add_argument("--resume", help="resume from a checkpoint npz")
+    p.add_argument("--profile", action="store_true", help="per-stage instrumented run")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from . import SolverParams, step
+    from .config import BasisOrder, PreconditionerType
+    from .io.checkpoint import load_checkpoint, params_from_json, save_checkpoint
+    from .scenes.builders import SCENES
+
+    if args.resume:
+        grid, scene, params, start, _ = load_checkpoint(args.resume)
+    else:
+        dtype = jnp.float64 if args.fp64 else jnp.float32
+        params = SolverParams(
+            dtype=dtype,
+            do_reduced_regions=not args.uniform,
+            do_tile=not args.no_tile,
+            tile_size=args.tile_size,
+            tile_padding=args.tile_padding,
+            liquid_boundary_layer_size=args.liquid_band,
+            solid_boundary_layer_size=args.solid_band,
+            tolerance=args.tolerance,
+            max_iterations=args.max_iterations,
+            basis=BasisOrder.AFFINE if args.affine else BasisOrder.QUADRATIC,
+            preconditioner=PreconditionerType.DIAGONAL if args.diag_precond else PreconditionerType.IDENTITY,
+        )
+        if args.params:
+            with open(args.params) as f:
+                params = params_from_json(f.read())
+        kw = {}
+        if args.viscosity is not None:
+            kw["viscosity"] = args.viscosity
+        if args.dt is not None:
+            kw["dt"] = args.dt
+        grid, scene = SCENES[args.scene](n=args.n, dtype=params.dtype, **kw)
+        start = 0
+
+    import dataclasses
+
+    import jax
+
+    if args.profile:
+        from .profiling import print_stats, step_instrumented
+
+        for k in range(start, start + args.steps):
+            vel, valid, stats = step_instrumented(grid, scene, params)
+            print(f"step {k}:")
+            print_stats(stats)
+            scene = dataclasses.replace(scene, velocity=vel)
+    else:
+        fn = jax.jit(lambda s: step(grid, s, params))
+        for k in range(start, start + args.steps):
+            t0 = time.perf_counter()
+            vel, valid, stats = fn(scene)
+            jax.block_until_ready(vel)
+            print(
+                f"step {k}: {time.perf_counter()-t0:.3f}s  iters={int(stats['iterations'])}"
+                f"  err={float(stats['error']):.3e}  converged={bool(stats['converged'])}"
+                f"  regions={int(stats['n_regions'])}"
+            )
+            scene = dataclasses.replace(scene, velocity=vel)
+
+    if args.export_prefix:
+        from .classify import classify, effective_max_regions
+        from .export import ExplicitOperators, export_component_matrices, export_grids, export_stats
+        from .solver import assemble
+        from .weights import compute_weights
+
+        R = effective_max_regions(grid, params)
+        lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+        cls = classify(grid, lw, fw, params)
+        asm, _ = assemble(grid, scene, cls, lw, fw, params, R)
+        export_grids(args.export_prefix, cls, lw, fw)
+        ops = ExplicitOperators(grid, cls, asm, params)
+        export_component_matrices(args.export_prefix, ops, fmt="mtx" if args.export_mtx else "npz")
+        export_stats(args.export_prefix, {k: v for k, v in stats.items()})
+        print(f"exported to {args.export_prefix}*")
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, grid, scene, params, start + args.steps)
+        print(f"checkpoint written to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,13 @@ from .weights import compute_weights
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Scene:
-    """One solve's input state on the MAC grid."""
+    """One solve's input state on the MAC grid.
+
+    Optional `surface_weights` / `collision_weights` (3 face arrays each)
+    override the face liquid/fluid weights with externally supplied values
+    (the reference's useInputSurfaceWeights/useInputCollisionWeights
+    passthrough, Solver.cpp:183-237: supplied face weights are floored at
+    MINWEIGHT where positive)."""
 
     surface_sdf: jnp.ndarray  # (nx,ny,nz) liquid SDF at centers, <0 inside
     collision_sdf: jnp.ndarray  # (nx,ny,nz) solid SDF at centers, <0 inside
@@ -68,6 +74,26 @@ class Scene:
     collision_velocity: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     viscosity: jnp.ndarray  # (nx,ny,nz) dynamic viscosity at centers
     dt: jnp.ndarray  # timestep (scalar)
+    surface_weights: object = None  # optional (fx, fy, fz) face liquid weights
+    collision_weights: object = None  # optional (fx, fy, fz) face fluid weights
+
+
+def _apply_input_weights(lw, fw, scene, dtype):
+    from .config import MINWEIGHT
+
+    def floor_min(w):
+        w = w.astype(dtype)
+        return jnp.where(w > 0, jnp.maximum(w, MINWEIGHT), 0.0)
+
+    if scene.surface_weights is not None:
+        lw = dict(lw)
+        for a in range(3):
+            lw[f"face{a}"] = floor_min(scene.surface_weights[a])
+    if scene.collision_weights is not None:
+        fw = dict(fw)
+        for a in range(3):
+            fw[f"face{a}"] = floor_min(scene.collision_weights[a])
+    return lw, fw
 
 
 def edge_viscosity(viscosity_c, edge_axis: int):
@@ -309,6 +335,7 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
     R = effective_max_regions(grid, params)
 
     liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+    liquid_w, fluid_w = _apply_input_weights(liquid_w, fluid_w, scene, params.dtype)
     cls = classify(grid, liquid_w, fluid_w, params)
     asm, rd = assemble(grid, scene, cls, liquid_w, fluid_w, params, R)
 

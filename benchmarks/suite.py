@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark suite over the BASELINE.json comparison configs:
+
+  1. uniform 64^3 viscous_beam (reduced off), tol 1e-6 criterion
+  2. single large reduced region (do_tile off), honey_coil 64^3
+  3. tiled reduced honey_coil 128^3 (tile 16 pad 2) — the headline
+  4. solid-coupled conveyor_belt 64^3 (moving collider)
+  5. 256^3 tiled reduced armadillo_melt (production scale)
+
+Writes BENCH_SUITE.json (list of per-config records) — the analog of the
+reference's armadillo timing figures (results/figures/Timings_*.png).
+
+Usage: python benchmarks/suite.py [--configs 1,2,3,4] [--iters-cap N]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(name, grid, scene, params):
+    import jax
+
+    from polystokes_tpu import step
+
+    fn = jax.jit(lambda s: step(grid, s, params))
+    t0 = time.perf_counter()
+    vel, valid, stats = fn(scene)
+    jax.block_until_ready(vel)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vel, valid, stats = fn(scene)
+    jax.block_until_ready(vel)
+    step_s = time.perf_counter() - t0
+    iters = int(stats["iterations"])
+    rec = {
+        "config": name,
+        "res": list(grid.res),
+        "step_s": round(step_s, 4),
+        "s_per_iteration": round(step_s / max(iters, 1), 6),
+        "iterations": iters,
+        "error": float(stats["error"]),
+        "converged": bool(stats["converged"]),
+        "n_regions": int(stats["n_regions"]),
+        "n_pressures": int(stats["n_pressures"]),
+        "n_active_velocities": int(stats["n_active_velocities"]),
+        "n_stresses": int(stats["n_stresses"]),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--iters-cap", type=int, default=1200)
+    args = ap.parse_args()
+    want = {int(c) for c in args.configs.split(",")}
+
+    import jax.numpy as jnp
+
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.scenes.builders import armadillo_melt, conveyor_belt, honey_coil, viscous_beam
+
+    base = dict(dtype=jnp.float32, max_iterations=args.iters_cap, bicgstab_fallback=False, tolerance=1e-3)
+    records = []
+
+    if 1 in want:
+        grid, scene = viscous_beam(n=64, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=False)
+        records.append(run_config("uniform_viscous_beam_64", grid, scene, p))
+    if 2 in want:
+        grid, scene = honey_coil(n=64, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+        records.append(run_config("single_region_honey_coil_64", grid, scene, p))
+    if 3 in want:
+        grid, scene = honey_coil(n=128, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+        records.append(run_config("tiled_honey_coil_128", grid, scene, p))
+    if 4 in want:
+        grid, scene = conveyor_belt(n=64, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+        records.append(run_config("solid_coupled_conveyor_64", grid, scene, p))
+    if 5 in want:
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+        records.append(run_config("tiled_armadillo_256", grid, scene, p))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    names = {r["config"] for r in records}
+    existing = [r for r in existing if r.get("config") not in names]
+    with open(out, "w") as f:
+        json.dump(existing + records, f, indent=2)
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,21 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    import os
+
+    import jax
+
+    # persistent compilation cache: repeat CLI invocations skip the
+    # (minutes-long) XLA compile
+    cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax
+        pass
+    if args.fp64:
+        jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
     from . import SolverParams, step
@@ -55,6 +70,14 @@ def main(argv=None):
     from .scenes.builders import SCENES
 
     if args.resume:
+        if not os.path.exists(args.resume):
+            sys.exit(f"error: checkpoint not found: {args.resume}")
+        # peek at the stored params to enable x64 before any conversion
+        import numpy as np
+
+        peek = params_from_json(str(np.load(args.resume)["params_json"]))
+        if jnp.dtype(peek.dtype).itemsize == 8:
+            jax.config.update("jax_enable_x64", True)
         grid, scene, params, start, _ = load_checkpoint(args.resume)
     else:
         dtype = jnp.float64 if args.fp64 else jnp.float32
@@ -79,6 +102,8 @@ def main(argv=None):
             kw["viscosity"] = args.viscosity
         if args.dt is not None:
             kw["dt"] = args.dt
+        if args.scene not in SCENES:
+            sys.exit(f"error: unknown scene '{args.scene}' (available: {', '.join(sorted(SCENES))})")
         grid, scene = SCENES[args.scene](n=args.n, dtype=params.dtype, **kw)
         start = 0
 

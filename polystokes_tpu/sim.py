@@ -1,0 +1,116 @@
+"""Minimal time-stepping driver around the Stokes solve.
+
+The reference is a microsolver inside Houdini's FLIP loop (README.md:26-28):
+Houdini supplies advection, gravity, and surface tracking, and the node
+replaces the pressure/viscosity projection.  This module provides a small
+TPU-native equivalent of that outer loop so the built-in scenes can be
+simulated end-to-end without a host application:
+
+  per frame:  add gravity -> viscous Stokes solve (polystokes step)
+              -> semi-Lagrangian advection of velocity and surface SDF
+
+This is an *extension* beyond the reference's own code (clearly more basic
+than FLIP: grid-based semi-Lagrangian advection, no particles, no
+reseeding); its purpose is driving multi-frame scene evolution for demos,
+A/B comparisons, and benchmarks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import SolverParams
+from .grid import Grid, coord_grids, face_offsets
+from .solver import Scene, step
+
+
+def _trilinear(field, x, y, z):
+    """Sample `field` at fractional index positions (arrays), edge-clamped."""
+    shape = field.shape
+    x = jnp.clip(x, 0.0, shape[0] - 1.0)
+    y = jnp.clip(y, 0.0, shape[1] - 1.0)
+    z = jnp.clip(z, 0.0, shape[2] - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, shape[0] - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, shape[1] - 2)
+    z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, shape[2] - 2)
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+
+    def g(i, j, k):
+        return field[x0 + i, y0 + j, z0 + k]
+
+    c00 = g(0, 0, 0) * (1 - fz) + g(0, 0, 1) * fz
+    c01 = g(0, 1, 0) * (1 - fz) + g(0, 1, 1) * fz
+    c10 = g(1, 0, 0) * (1 - fz) + g(1, 0, 1) * fz
+    c11 = g(1, 1, 0) * (1 - fz) + g(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def _velocity_at(vel, px, py, pz):
+    """MAC velocity sampled at positions (cell units).  Face array of axis
+    a is indexed at position + 0.5 along a (face i sits at i - 1/2)."""
+    out = []
+    for a, v in enumerate(vel):
+        off = [0.0, 0.0, 0.0]
+        off[a] = 0.5
+        out.append(_trilinear(v, px + off[0], py + off[1], pz + off[2]))
+    return out
+
+
+def advect_field(field, vel, dt_over_dx, offsets):
+    """Semi-Lagrangian advection of a field sampled at `offsets`."""
+    dtype = field.dtype
+    xs, ys, zs = coord_grids(field.shape, offsets, dtype)
+    px = jnp.broadcast_to(xs, field.shape)
+    py = jnp.broadcast_to(ys, field.shape)
+    pz = jnp.broadcast_to(zs, field.shape)
+    u = _velocity_at(vel, px, py, pz)
+    # RK2 (midpoint) backtrace
+    mx = px - 0.5 * dt_over_dx * u[0]
+    my = py - 0.5 * dt_over_dx * u[1]
+    mz = pz - 0.5 * dt_over_dx * u[2]
+    um = _velocity_at(vel, mx, my, mz)
+    bx = px - dt_over_dx * um[0]
+    by = py - dt_over_dx * um[1]
+    bz = pz - dt_over_dx * um[2]
+    return _trilinear(field, bx, by, bz)
+
+
+@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis"))
+def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: float = -9.8, gravity_axis: int = 2):
+    """One frame: gravity -> Stokes solve -> advect velocity + surface."""
+    dt = scene.dt
+    dtype = params.dtype
+    dt_over_dx = dt / jnp.asarray(grid.dx, dtype)
+
+    vel = list(scene.velocity)
+    vel[gravity_axis] = vel[gravity_axis] + jnp.asarray(gravity, dtype) * dt
+    scene = dataclasses.replace(scene, velocity=tuple(vel))
+
+    new_vel, valid, stats = step(grid, scene, params)
+
+    adv_vel = tuple(
+        advect_field(new_vel[a], new_vel, dt_over_dx, face_offsets(a)) for a in range(3)
+    )
+    surf = advect_field(scene.surface_sdf.astype(dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0))
+
+    out = dataclasses.replace(scene, velocity=adv_vel, surface_sdf=surf)
+    return out, stats
+
+
+def simulate(grid: Grid, scene: Scene, params: SolverParams, frames: int, gravity: float = -9.8, callback=None):
+    """Run `frames` frames; returns the final scene and a list of stats."""
+    all_stats = []
+    for k in range(frames):
+        scene, stats = simulate_frame(grid, scene, params, gravity)
+        all_stats.append({m: v for m, v in stats.items()})
+        if callback is not None:
+            callback(k, scene, stats)
+    return scene, all_stats

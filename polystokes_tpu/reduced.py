@@ -209,6 +209,40 @@ class _Accumulator:
         red = self.cls.edge_labels[e] == REDUCED
         return jnp.where(red, self.cls.edge_region[e], -1)
 
+    # -- monomial-moment forms: never materialize [D, grid] basis tensors.
+    #    sum_i w_i (A1 m1_i)(A2 m2_i)^T  =  A1 (sum_i w_i m1_i m2_i^T) A2^T
+    #    with K <= 10 monomials instead of D = 26 basis rows — this keeps
+    #    the 256^3 setup inside HBM (a [26, grid] tensor is 1.7 GB there).
+
+    def rank1_mono(self, mono1, mono2, w, A1, A2, family):
+        """mono1/mono2: lists of K [grid...] arrays; A1 [D,K1], A2 [D,K2]."""
+        if self.tiled:
+            fl = self._facelike(family)
+            wb = _family_blocks(w, fl, self.T, self.cs)
+            M1 = jnp.stack([_family_blocks(m, fl, self.T, self.cs) for m in mono1], axis=1)
+            if mono2 is mono1:
+                M2 = M1
+            else:
+                M2 = jnp.stack([_family_blocks(m, fl, self.T, self.cs) for m in mono2], axis=1)
+            mom = jnp.einsum("ckt,clt->ckl", M1 * wb[:, None, :], M2)
+            momR = _cube_scatter(mom.reshape(mom.shape[0], -1), self.roc, self.R)
+            momR = momR.reshape(self.R, A1.shape[1], A2.shape[1])
+            return jnp.einsum("dk,rkl,el->rde", A1, momR, A2)
+        C1 = jnp.einsum("dk,k...->d...", A1, jnp.stack(mono1, axis=0))
+        C2 = C1 if (mono2 is mono1 and A2 is A1) else jnp.einsum("dk,k...->d...", A2, jnp.stack(mono2, axis=0))
+        return segment_rank1(C1, C2, w, self._ids(family), self.R)
+
+    def vec_mono(self, mono, w, A, family):
+        """[R, D] accumulation of w * (A m):  A (sum w m)."""
+        if self.tiled:
+            fl = self._facelike(family)
+            wb = _family_blocks(w, fl, self.T, self.cs)
+            mb = jnp.stack([jnp.sum(_family_blocks(m, fl, self.T, self.cs) * wb, axis=1) for m in mono], axis=-1)
+            mR = _cube_scatter(mb, self.roc, self.R)  # [R, K]
+            return mR @ A.T
+        C = jnp.einsum("dk,k...->d...", A, jnp.stack(mono, axis=0))
+        return segment_sum_vec(C * w[None], self._ids(family), self.R)
+
 
 # ---------------------------------------------------------------------------
 # Region geometry
@@ -277,6 +311,8 @@ class ReducedData:
 
 
 def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscosity_e, params: SolverParams, R: int) -> ReducedData:
+    from .basis import monomial_matrix, monomials_xyz
+
     dtype = params.dtype
     D = params.reduced_dof
     red_cell = cls.cell_labels == REDUCED
@@ -285,6 +321,18 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
     com, counts = center_of_masses(cls, R, dtype, acc)
 
     from .grid import shift as _shift
+
+    def cell_face_monomials(axis, side):
+        """Monomials at every cell's lower/upper face of `axis`."""
+        shape = cls.cell_labels.shape
+        cx, cy, cz = gather_com_xyz(com, cls.cell_region)
+        p = [
+            _coord_axis(shape, 0, dtype) - cx,
+            _coord_axis(shape, 1, dtype) - cy,
+            _coord_axis(shape, 2, dtype) - cz,
+        ]
+        p[axis] = p[axis] + (0.5 if side else -0.5)
+        return monomials_xyz(p[0], p[1], p[2], params.basis)
 
     # ---- least-squares best fit (Solver.cpp:1331-1399): faces of reduced
     # cells whose across-cell neighbor is ACTIVE contribute c c^T and
@@ -296,8 +344,14 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
     mr = jnp.zeros((R, D, D), dtype)
     rho = jnp.asarray(params.constant_density, dtype)
     active_cell = is_active(cls.cell_labels)
+    inv_dx2 = jnp.asarray(1.0 / (grid.dx * grid.dx), dtype)
+    vr = jnp.zeros((R, D, D), dtype)
+    w_visc = red_cell.astype(dtype) * viscosity_c.astype(dtype) * inv_dx2
+
     for a in range(3):
-        c_lo, c_hi = _cell_face_basis_pair(cls, com, a, params)
+        A = jnp.asarray(monomial_matrix(a, params.basis), dtype)
+        m_lo_list = cell_face_monomials(a, 0)
+        m_hi_list = cell_face_monomials(a, 1)
         d_lo = [0, 0, 0]
         d_lo[a] = -1
         d_hi = [0, 0, 0]
@@ -309,27 +363,23 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
 
         w_lo = (red_cell & nb_lo).astype(dtype)
         w_hi = (red_cell & nb_hi).astype(dtype)
-        fitM = fitM + acc.rank1(c_lo, c_lo, w_lo, "cell")
-        fitM = fitM + acc.rank1(c_hi, c_hi, w_hi, "cell")
-        fitb = fitb + acc.vec(c_lo * (w_lo * u_lo)[None], "cell")
-        fitb = fitb + acc.vec(c_hi * (w_hi * u_hi)[None], "cell")
+        fitM = fitM + acc.rank1_mono(m_lo_list, m_lo_list, w_lo, A, A, "cell")
+        fitM = fitM + acc.rank1_mono(m_hi_list, m_hi_list, w_hi, A, A, "cell")
+        fitb = fitb + acc.vec_mono(m_lo_list, w_lo * u_lo, A, "cell")
+        fitb = fitb + acc.vec_mono(m_hi_list, w_hi * u_hi, A, "cell")
 
-        m_lo = red_cell.astype(dtype)
-        m_hi = (red_cell & nb_hi).astype(dtype)
-        mr = mr + acc.rank1(c_lo, c_lo, rho * m_lo, "cell")
-        mr = mr + acc.rank1(c_hi, c_hi, rho * m_hi, "cell")
+        mr = mr + acc.rank1_mono(m_lo_list, m_lo_list, rho * red_cell.astype(dtype), A, A, "cell")
+        mr = mr + acc.rank1_mono(m_hi_list, m_hi_list, rho * w_hi, A, A, "cell")
 
-    # ---- interior viscosity Galerkin matrix (rank-1 form; module doc)
-    inv_dx2 = jnp.asarray(1.0 / (grid.dx * grid.dx), dtype)
-    vr = jnp.zeros((R, D, D), dtype)
-    for a in range(3):
-        c_lo, c_hi = _cell_face_basis_pair(cls, com, a, params)
-        d = c_hi - c_lo
-        w = red_cell.astype(dtype) * viscosity_c.astype(dtype) * inv_dx2
-        vr = vr + acc.rank1(d, d, w, "cell")
+        # interior viscosity, cell-centered term (rank-1 form; module doc):
+        # d = c_hi - c_lo = A (m_hi - m_lo)
+        dm = [h - l for h, l in zip(m_hi_list, m_lo_list)]
+        vr = vr + acc.rank1_mono(dm, dm, w_visc, A, A, "cell")
+
     # edge terms: 0.5 mu_e/dx^2 * u u^T over strictly REDUCED edges, with
-    # u = sum over the 4 surrounding faces of s * c(face) (s = +1 on the
-    # lower offset side, -1 on the edge itself)
+    # u = sum over the 4 surrounding faces of s * c(face)  (s = +1 on the
+    # lower offset side, -1 on the edge itself).  u mixes the two face
+    # families p, q:  u = [A_p | A_q] [dm_p ; dm_q].
     for e in range(3):
         p, q = EDGE_OFFSET_AXES[e]
         edge_red = cls.edge_labels[e] == REDUCED
@@ -340,17 +390,22 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
             _coord_axis(eshape, 1, dtype) - ey,
             _coord_axis(eshape, 2, dtype) - ez,
         ]
-        u_vec = jnp.zeros((D,) + eshape, dtype)
+        mono_stack = []
+        A_parts = []
         for fa, other in ((p, q), (q, p)):
             off = face_offsets(fa)
             up = [pos[i] + off[i] for i in range(3)]
             dn = list(up)
             dn[other] = up[other] - 1.0
-            c_up = conversion_coefficients_xyz(*up, fa, params.basis, stack_axis=0)
-            c_dn = conversion_coefficients_xyz(*dn, fa, params.basis, stack_axis=0)
-            u_vec = u_vec + (c_dn - c_up)
+            m_up = monomials_xyz(up[0], up[1], up[2], params.basis)
+            m_dn = monomials_xyz(dn[0], dn[1], dn[2], params.basis)
+            mono_stack.extend([d_ - u_ for d_, u_ in zip(m_dn, m_up)])
+            A_parts.append(monomial_matrix(fa, params.basis))
+        import numpy as _np
+
+        A_stack = jnp.asarray(_np.concatenate(A_parts, axis=1), dtype)
         w = edge_red.astype(dtype) * 0.5 * viscosity_e[e].astype(dtype) * inv_dx2
-        vr = vr + acc.rank1(u_vec, u_vec, w, ("edge", e))
+        vr = vr + acc.rank1_mono(mono_stack, mono_stack, w, A_stack, A_stack, ("edge", e))
 
     # ---- batched least-squares solve (reference: per-region fullPivLu,
     # Solver.cpp:401-416) on the MXU

@@ -133,9 +133,12 @@ class ExplicitOperators:
     def _grad_like(self, stress: bool, reduced: bool, parts: bool = False):
         """G / JG and the center-stress part of Dt / JDt."""
         rows, cols, vals = [], [], []
+        from .operators import coeff_fields
+
         for a in range(3):
-            c_lo = np.asarray(self.asm.c_lo[a])
-            c_hi = np.asarray(self.asm.c_hi[a])
+            c_lo_j, c_hi_j, _erow = coeff_fields(self.asm, a)
+            c_lo = np.asarray(c_lo_j)
+            c_hi = np.asarray(c_hi_j)
             fl = np.asarray(self.cls.face_labels[a])
             if reduced:
                 sel_face = fl == REDUCED
@@ -168,8 +171,11 @@ class ExplicitOperators:
         return sp.coo_matrix((vals, (rows, cols)), shape=(nrow, ncol)).tocsr()
 
     def _edge_div(self, reduced: bool, parts: bool = False):
+        from .operators import coeff_fields
+
         rows, cols, vals = [], [], []
         for a in range(3):
+            _clo, _chi, _erow2 = coeff_fields(self.asm, a)
             fl = np.asarray(self.cls.face_labels[a])
             if reduced:
                 sel_face = fl == REDUCED
@@ -180,7 +186,7 @@ class ExplicitOperators:
             for e in range(3):
                 if e == a:
                     continue
-                elo, ehi = self.asm.ecoef[a][e]
+                elo, ehi = _erow2[e]
                 for d, cf, sign in ((0, np.asarray(elo), 1.0), (1, np.asarray(ehi), -1.0)):
                     ev = self._edge_view(a, e, d)
                     col = np.where(ev >= 0, ev + self._soff_edge(e), -1)

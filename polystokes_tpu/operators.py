@@ -128,17 +128,14 @@ class Assembled:
     dt: jnp.ndarray
     inv_dx: jnp.ndarray
 
-    # masks (float 0/1 in compute dtype for cheap multiplies)
-    p_mask: jnp.ndarray  # active cells
-    vmask: Tuple[jnp.ndarray, ...]  # active faces, per axis
-    rmask: Tuple[jnp.ndarray, ...]  # reduced faces, per axis
-    emask: Tuple[jnp.ndarray, ...]  # active (incl BOUNDARY) edges
-
-    # stencil coefficient fields, face-shaped, per face axis
-    c_lo: Tuple[jnp.ndarray, ...]  # pressure/center-stress coeff, lower cell
-    c_hi: Tuple[jnp.ndarray, ...]  # upper cell
-    # edge-stress coeffs: ecoef[a][e] = None if e == a else (lo, hi)
-    ecoef: Tuple[Tuple[object, ...], ...]
+    # gated weight fields (the stencil coefficients factor as products of
+    # these; storing the factors instead of 18 per-face coefficient arrays
+    # cuts persistent memory and per-iteration HBM reads):
+    #   G/Dt cell coeff at face f, side d = ffw[a][f] * clw_s[cell_d(f)]
+    #   Dt edge coeff                    = ffw[a][f] * elw_s[e][edge_d(f)]
+    clw_s: jnp.ndarray  # active-gated center liquid weight / dx
+    elw_s: Tuple[jnp.ndarray, ...]  # active-gated edge liquid weights / dx
+    ffw: Tuple[jnp.ndarray, ...]  # face fluid weights
 
     # diagonals
     mc: Tuple[jnp.ndarray, ...]
@@ -170,33 +167,35 @@ def _mask(x, dtype):
     return x.astype(dtype)
 
 
-def build_coefficients(grid: Grid, cls: Classification, liquid_w, fluid_w, params: SolverParams):
-    """Precompute gated stencil coefficient fields."""
+def build_gated_weights(grid: Grid, cls: Classification, liquid_w, fluid_w, params: SolverParams):
+    """Gated weight factor fields (see Assembled docstring)."""
     dtype = params.dtype
     inv_dx = jnp.asarray(1.0 / grid.dx, dtype)
-
     cell_active = is_active(cls.cell_labels)
-    c_lo, c_hi = [], []
-    ecoef = []
-    for a in range(3):
-        ffw = fluid_w[f"face{a}"].astype(dtype)
-        clw = jnp.where(cell_active, liquid_w["center"], 0.0).astype(dtype)
-        lo = ffw * cell_at_face(clw, a, 0) * inv_dx
-        hi = ffw * cell_at_face(clw, a, 1) * inv_dx
-        c_lo.append(lo)
-        c_hi.append(hi)
+    clw_s = jnp.where(cell_active, liquid_w["center"], 0.0).astype(dtype) * inv_dx
+    elw_s = tuple(
+        jnp.where(is_active(cls.edge_labels[e]), liquid_w[f"edge{e}"], 0.0).astype(dtype) * inv_dx
+        for e in range(3)
+    )
+    ffw = tuple(fluid_w[f"face{a}"].astype(dtype) for a in range(3))
+    return clw_s, elw_s, ffw
 
-        row = []
-        for e in range(3):
-            if e == a:
-                row.append(None)
-                continue
-            elw = jnp.where(is_active(cls.edge_labels[e]), liquid_w[f"edge{e}"], 0.0).astype(dtype)
-            elo = ffw * edge_at_face(elw, a, e, 0) * inv_dx
-            ehi = ffw * edge_at_face(elw, a, e, 1) * inv_dx
-            row.append((elo, ehi))
-        ecoef.append(tuple(row))
-    return tuple(c_lo), tuple(c_hi), tuple(ecoef)
+
+def coeff_fields(asm: "Assembled", a: int):
+    """Materialize the per-face stencil coefficient arrays for axis `a`
+    (used by setup-time consumers: solid RHS, diagonal preconditioner,
+    explicit export).  (c_lo, c_hi, {e: (elo, ehi)})."""
+    c_lo = asm.ffw[a] * cell_at_face(asm.clw_s, a, 0)
+    c_hi = asm.ffw[a] * cell_at_face(asm.clw_s, a, 1)
+    erow = {}
+    for e in range(3):
+        if e == a:
+            continue
+        erow[e] = (
+            asm.ffw[a] * edge_at_face(asm.elw_s[e], a, e, 0),
+            asm.ffw[a] * edge_at_face(asm.elw_s[e], a, e, 1),
+        )
+    return c_lo, c_hi, erow
 
 
 def build_diagonals(grid: Grid, cls: Classification, liquid_w, fluid_w, viscosity_c, viscosity_e, params: SolverParams):
@@ -234,40 +233,38 @@ def build_diagonals(grid: Grid, cls: Classification, liquid_w, fluid_w, viscosit
 # ---------------------------------------------------------------------------
 
 def forward_face_values(asm: Assembled, x: PTau):
+    """s[face] = (G p + Dt tau)[face].  Factored form: the cell-side
+    weight multiplies at the source cell/edge, the face weight at the
+    face, so each gated field is read once."""
+    g = [asm.clw_s * (x.p - x.tc[a]) for a in range(3)]
+    h = [asm.elw_s[e] * x.te[e] for e in range(3)]
     s = []
     for a in range(3):
-        p_lo = cell_at_face(x.p, a, 0)
-        p_hi = cell_at_face(x.p, a, 1)
-        t_lo = cell_at_face(x.tc[a], a, 0)
-        t_hi = cell_at_face(x.tc[a], a, 1)
-        # G p : +c_hi p_hi - c_lo p_lo ; Dt tau_c : -c_hi t_hi + c_lo t_lo
-        v = asm.c_hi[a] * (p_hi - t_hi) + asm.c_lo[a] * (t_lo - p_lo)
+        v = cell_at_face(g[a], a, 1) - cell_at_face(g[a], a, 0)
         for e in range(3):
             if e == a:
                 continue
-            elo, ehi = asm.ecoef[a][e]
-            te_lo = edge_at_face(x.te[e], a, e, 0)
-            te_hi = edge_at_face(x.te[e], a, e, 1)
-            # Dt tau_e : dir0 sign -1 -> +coeff ; dir1 -> -coeff
-            v = v + elo * te_lo - ehi * te_hi
-        s.append(v)
+            v = v + edge_at_face(h[e], a, e, 0) - edge_at_face(h[e], a, e, 1)
+        s.append(asm.ffw[a] * v)
     return s
 
 
 def transpose_from_faces(asm: Assembled, f) -> PTau:
-    """(p, tau) accumulation of [G Dt]^T applied to face values `f`."""
-    p_out = jnp.zeros_like(asm.p_mask)
-    tc_out = [jnp.zeros_like(asm.uinv_c) for _ in range(3)]
-    te_out = [jnp.zeros_like(asm.uinv_e[e]) for e in range(3)]
+    """(p, tau) accumulation of [G Dt]^T applied to face values `f`.
+    Factored like the forward pass: the face weight multiplies at the
+    face, the cell/edge weight once at the target."""
+    p_out = jnp.zeros_like(asm.clw_s)
+    tc_out = []
+    te_acc = [jnp.zeros_like(asm.elw_s[e]) for e in range(3)]
     for a in range(3):
-        w = f[a]
-        lo_f = face_at_cell(asm.c_hi[a] * w, a, 0)  # cell's lower face: cell is upper side (sign +1)
-        hi_f = face_at_cell(asm.c_lo[a] * w, a, 1)  # cell's upper face: cell is lower side (sign -1)
-        p_out = p_out + lo_f - hi_f
-        tc_out[a] = tc_out[a] - lo_f + hi_f
+        w = asm.ffw[a] * f[a]
+        d = face_at_cell(w, a, 0) - face_at_cell(w, a, 1)  # lower face (+) - upper face (-)
+        p_out = p_out + d
+        tc_out.append(-asm.clw_s * d)
         for e in range(3):
             if e == a:
                 continue
-            elo, ehi = asm.ecoef[a][e]
-            te_out[e] = te_out[e] + scatter_face_to_edge(elo * w, a, e, 0) - scatter_face_to_edge(ehi * w, a, e, 1)
-    return PTau(p=p_out, tc=tuple(tc_out), te=tuple(te_out))
+            te_acc[e] = te_acc[e] + scatter_face_to_edge(w, a, e, 0) - scatter_face_to_edge(w, a, e, 1)
+    p_out = asm.clw_s * p_out
+    te_out = tuple(asm.elw_s[e] * te_acc[e] for e in range(3))
+    return PTau(p=p_out, tc=tuple(tc_out), te=te_out)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .classify import REDUCED
 from .config import PreconditionerType, SolverParams
-from .operators import Assembled, PTau, face_at_cell, scatter_face_to_edge
+from .operators import Assembled, PTau, coeff_fields, face_at_cell, scatter_face_to_edge
 from .reduced import _face_basis_leading, gather_com
 
 
@@ -56,21 +56,22 @@ def _diag_quadratic_form(grid, cls, asm, params, a):
 def schur_diagonal(grid, cls, asm: Assembled, params: SolverParams) -> PTau:
     """|diag(A)| as a PTau (positive on DOFs, zero elsewhere)."""
     dt = asm.dt
-    p_d = jnp.zeros_like(asm.p_mask)
+    p_d = jnp.zeros_like(asm.clw_s)
     tc_d = [jnp.zeros_like(asm.uinv_c) for _ in range(3)]
     te_d = [jnp.zeros_like(asm.uinv_e[e]) for e in range(3)]
     for a in range(3):
+        c_lo, c_hi, erow = coeff_fields(asm, a)
         q = _diag_quadratic_form(grid, cls, asm, params, a) if params.do_reduced_regions else 0.0
         wgt = dt * asm.mc_inv[a] + q  # per-face scalar weight of coeff^2
         # pressure / center-stress diagonal: coeff^2 over the 2 faces
-        lo = face_at_cell(asm.c_hi[a] ** 2 * wgt, a, 0)
-        hi = face_at_cell(asm.c_lo[a] ** 2 * wgt, a, 1)
+        lo = face_at_cell(c_hi**2 * wgt, a, 0)
+        hi = face_at_cell(c_lo**2 * wgt, a, 1)
         p_d = p_d + lo + hi
         tc_d[a] = tc_d[a] + lo + hi
         for e in range(3):
             if e == a:
                 continue
-            elo, ehi = asm.ecoef[a][e]
+            elo, ehi = erow[e]
             te_d[e] = te_d[e] + scatter_face_to_edge(elo**2 * wgt, a, e, 0) + scatter_face_to_edge(ehi**2 * wgt, a, e, 1)
     tc = tuple(tc_d[a] + 0.5 * asm.uinv_c for a in range(3))
     te = tuple(te_d[e] + 0.5 * asm.uinv_e[e] for e in range(3))

@@ -32,8 +32,9 @@ from .grid import Grid
 from .operators import (
     Assembled,
     PTau,
-    build_coefficients,
     build_diagonals,
+    build_gated_weights,
+    coeff_fields,
     cell_at_face,
     edge_at_face,
     face_at_cell,
@@ -128,7 +129,7 @@ def edge_viscosity(viscosity_c, edge_axis: int):
 # Assembly
 # ---------------------------------------------------------------------------
 
-def _solid_rhs(grid: Grid, cls: Classification, asm_coeffs, fluid_w, collision_velocity, dtype) -> PTau:
+def _solid_rhs(grid: Grid, cls: Classification, asm, fluid_w, collision_velocity, dtype) -> PTau:
     """Solid-velocity boundary RHS terms (ConstructMatrixBlocks.cpp:424-441,
     493-511, 581-599): for each ACTIVE face f with stencil coefficient
     coeff(f, target) > 0,
@@ -138,28 +139,28 @@ def _solid_rhs(grid: Grid, cls: Classification, asm_coeffs, fluid_w, collision_v
     where `target` ranges over the adjacent active pressure cells, center
     stresses, and edge stresses.  (Pressure and stress both use
     +sign*coeff; the matrix's Dt uses -sign*coeff.)"""
-    c_lo, c_hi, ecoef = asm_coeffs
     p_out = jnp.zeros(grid.center_shape, dtype)
     tc_out = [jnp.zeros(grid.center_shape, dtype) for _ in range(3)]
     te_out = [jnp.zeros(fluid_w[f"edge{e}"].shape, dtype) for e in range(3)]
 
     phi_c = (fluid_w["center"] < 1.0).astype(dtype)
     for a in range(3):
+        c_lo, c_hi, erow = coeff_fields(asm, a)
         act = is_active(cls.face_labels[a]).astype(dtype)
         svel = collision_velocity[a].astype(dtype) * act
         phi_f = (fluid_w[f"face{a}"] < 1.0).astype(dtype)
         w1 = svel * phi_f  # face-indicator part
         # cell targets: cell's lower face (cell on upper side, sign +1,
         # coeff c_hi at face index == cell) and upper face (sign -1, c_lo)
-        t1 = face_at_cell(c_hi[a] * w1, a, 0) - face_at_cell(c_lo[a] * w1, a, 1)
-        t2 = (face_at_cell(c_hi[a] * svel, a, 0) - face_at_cell(c_lo[a] * svel, a, 1)) * phi_c
+        t1 = face_at_cell(c_hi * w1, a, 0) - face_at_cell(c_lo * w1, a, 1)
+        t2 = (face_at_cell(c_hi * svel, a, 0) - face_at_cell(c_lo * svel, a, 1)) * phi_c
         contrib = t1 - t2
         p_out = p_out + contrib
         tc_out[a] = tc_out[a] + contrib
         for e in range(3):
             if e == a:
                 continue
-            elo, ehi = ecoef[a][e]
+            elo, ehi = erow[e]
             phi_e = (fluid_w[f"edge{e}"] < 1.0).astype(dtype)
             # edge targets: sign(dir0) = -1, sign(dir1) = +1
             s1 = scatter_face_to_edge(ehi * w1, a, e, 1) - scatter_face_to_edge(elo * w1, a, e, 0)
@@ -176,19 +177,14 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
     visc_c = scene.viscosity.astype(dtype)
     visc_e = tuple(edge_viscosity(visc_c, e) for e in range(3))
 
-    c_lo, c_hi, ecoef = build_coefficients(grid, cls, liquid_w, fluid_w, params)
+    clw_s, elw_s, ffw = build_gated_weights(grid, cls, liquid_w, fluid_w, params)
     mc, mc_inv, uinv_c, u_c, uinv_e, u_e = build_diagonals(
         grid, cls, liquid_w, fluid_w, visc_c, visc_e, params
     )
 
     vmask = tuple(is_active(cls.face_labels[a]).astype(dtype) for a in range(3))
-    rmask = tuple(((cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)).astype(dtype) for a in range(3))
-    emask = tuple(is_active(cls.edge_labels[e]).astype(dtype) for e in range(3))
-    p_mask = is_active(cls.cell_labels).astype(dtype)
-
     b_v = tuple(scene.velocity[a].astype(dtype) * mc[a] for a in range(3))
     old_v = tuple(scene.velocity[a].astype(dtype) * vmask[a] for a in range(3))
-    rhs_solid = _solid_rhs(grid, cls, (c_lo, c_hi, ecoef), fluid_w, scene.collision_velocity, dtype)
 
     if params.do_reduced_regions:
         rd = build_reduced(grid, cls, scene.velocity, visc_c, visc_e, params, R)
@@ -208,13 +204,9 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
     asm = Assembled(
         dt=dt,
         inv_dx=jnp.asarray(1.0 / grid.dx, dtype),
-        p_mask=p_mask,
-        vmask=vmask,
-        rmask=rmask,
-        emask=emask,
-        c_lo=c_lo,
-        c_hi=c_hi,
-        ecoef=ecoef,
+        clw_s=clw_s,
+        elw_s=elw_s,
+        ffw=ffw,
         mc=mc,
         mc_inv=mc_inv,
         uinv_c=uinv_c,
@@ -223,7 +215,11 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
         u_e=u_e,
         b_v=b_v,
         old_v=old_v,
-        rhs_solid=rhs_solid,
+        rhs_solid=PTau(
+            p=jnp.zeros(grid.center_shape, dtype),
+            tc=tuple(jnp.zeros(grid.center_shape, dtype) for _ in range(3)),
+            te=tuple(jnp.zeros_like(uinv_e[e]) for e in range(3)),
+        ),
         com=rd.com,
         binv=rd.binv,
         mr=rd.mr,
@@ -233,6 +229,7 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
         region_valid=cls.region_valid,
         face_region=cls.face_region,
     )
+    asm = dataclasses.replace(asm, rhs_solid=_solid_rhs(grid, cls, asm, fluid_w, scene.collision_velocity, dtype))
     return asm, rd
 
 

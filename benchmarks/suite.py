@@ -26,14 +26,21 @@ def run_config(name, grid, scene, params):
 
     from polystokes_tpu import step
 
-    fn = jax.jit(lambda s: step(grid, s, params))
+    # donate the scene buffers so XLA can reuse them inside the step (the
+    # caller passes a fresh device copy per call)
+    fn = jax.jit(lambda s: step(grid, s, params), donate_argnums=0)
+
+    def call():
+        fresh = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, scene)
+        out = fn(fresh)
+        jax.block_until_ready(out[0])
+        return out
+
     t0 = time.perf_counter()
-    vel, valid, stats = fn(scene)
-    jax.block_until_ready(vel)
+    vel, valid, stats = call()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    vel, valid, stats = fn(scene)
-    jax.block_until_ready(vel)
+    vel, valid, stats = call()
     step_s = time.perf_counter() - t0
     iters = int(stats["iterations"])
     rec = {

@@ -118,38 +118,34 @@ def _use_tiled(params: SolverParams) -> bool:
     return params.do_tile and params.tile_padding >= 1
 
 
-def _family_blocks(arr, facelike_axes, T: int, cs):
-    """[grid...] -> [ncubes, T^3]: drop index 0 along `facelike_axes`,
-    zero-pad to cube multiples, regroup cube-major."""
+def _to_cube_multiple(arr, facelike_axes, T: int, cs):
+    """Drop index 0 along `facelike_axes` and zero-pad every axis to the
+    cube multiple cs[i]*T.  The result reshapes to the 6-D block view as a
+    pure view of contiguous memory."""
     x = arr
     for ax in facelike_axes:
         sl = [slice(None)] * 3
         sl[ax] = slice(1, None)
         x = x[tuple(sl)]
     pads = [(0, cs[i] * T - x.shape[i]) for i in range(3)]
-    x = jnp.pad(x, pads)
-    x = x.reshape(cs[0], T, cs[1], T, cs[2], T).transpose(0, 2, 4, 1, 3, 5)
-    return x.reshape(cs[0] * cs[1] * cs[2], T * T * T)
+    return jnp.pad(x, pads)
 
 
-def _family_blocks_leading(arr, facelike_axes, T: int, cs):
-    """[D, grid...] -> [ncubes, D, T^3]."""
-    D = arr.shape[0]
-    x = arr
-    for ax in facelike_axes:
-        sl = [slice(None)] * 4
-        sl[ax + 1] = slice(1, None)
-        x = x[tuple(sl)]
-    pads = [(0, 0)] + [(0, cs[i] * T - x.shape[i + 1]) for i in range(3)]
-    x = jnp.pad(x, pads)
-    x = x.reshape(D, cs[0], T, cs[1], T, cs[2], T).transpose(1, 3, 5, 0, 2, 4, 6)
-    return x.reshape(cs[0] * cs[1] * cs[2], D, T * T * T)
+def block_sum(arr, facelike_axes, T: int, cs):
+    """Per-cube sum -> [ncubes].  Implemented as a contiguous 6-D reshape
+    VIEW + reduction over the local axes — never materializes a
+    cube-major transpose (a 6-D [.,T,.,T,.,T] copy pads its trailing
+    16-wide dims to the 128-lane tile: 8x memory at 256^3)."""
+    x = _to_cube_multiple(arr, facelike_axes, T, cs)
+    x = x.reshape(cs[0], T, cs[1], T, cs[2], T)
+    return jnp.sum(x, axis=(1, 3, 5)).reshape(cs[0] * cs[1] * cs[2])
 
 
-def _blocks_to_grid(blocks, facelike_axes, T: int, cs, out_shape):
-    """Inverse of _family_blocks ([ncubes, T^3] -> [grid...]), re-inserting
-    a zero plane at index 0 along the facelike axes."""
-    x = blocks.reshape(cs[0], cs[1], cs[2], T, T, T).transpose(0, 3, 1, 4, 2, 5)
+def block_broadcast(vals, facelike_axes, T: int, cs, out_shape):
+    """[ncubes] -> [grid...]: broadcast each cube's value over its cells,
+    re-inserting a zero plane at index 0 along the facelike axes."""
+    v = vals.reshape(cs[0], 1, cs[1], 1, cs[2], 1)
+    x = jnp.broadcast_to(v, (cs[0], T, cs[1], T, cs[2], T))
     x = x.reshape(cs[0] * T, cs[1] * T, cs[2] * T)
     crop = list(out_shape)
     pad = [(0, 0)] * 3
@@ -182,23 +178,12 @@ class _Accumulator:
     def _facelike(self, family):
         return () if family == "cell" else EDGE_OFFSET_AXES[family[1]]
 
-    def rank1(self, C1, C2, w, family):
-        if self.tiled:
-            fl = self._facelike(family)
-            wb = _family_blocks(w, fl, self.T, self.cs)
-            C1b = _family_blocks_leading(C1, fl, self.T, self.cs)
-            C2b = _family_blocks_leading(C2, fl, self.T, self.cs)
-            m = jnp.einsum("cmt,cnt->cmn", C1b * wb[:, None, :], C2b)
-            D = C1.shape[0]
-            nc = m.shape[0]
-            return _cube_scatter(m.reshape(nc, D * D), self.roc, self.R).reshape(self.R, D, D)
-        return segment_rank1(C1, C2, w, self._ids(family), self.R)
-
     def vec(self, vals, family):
+        """vals [D, grid...] -> [R, D]."""
         if self.tiled:
             fl = self._facelike(family)
-            vb = _family_blocks_leading(vals, fl, self.T, self.cs)
-            return _cube_scatter(jnp.sum(vb, axis=2), self.roc, self.R)
+            cols = [block_sum(vals[d], fl, self.T, self.cs) for d in range(vals.shape[0])]
+            return _cube_scatter(jnp.stack(cols, axis=-1), self.roc, self.R)
         return segment_sum_vec(vals, self._ids(family), self.R)
 
     def _ids(self, family):
@@ -215,18 +200,25 @@ class _Accumulator:
     #    the 256^3 setup inside HBM (a [26, grid] tensor is 1.7 GB there).
 
     def rank1_mono(self, mono1, mono2, w, A1, A2, family):
-        """mono1/mono2: lists of K [grid...] arrays; A1 [D,K1], A2 [D,K2]."""
+        """mono1/mono2: lists of K [grid...] arrays; A1 [D,K1], A2 [D,K2].
+        Tiled path: per-(k,l) block sums of w*m1_k*m2_l (fused full-grid
+        multiply-reduces, exploiting symmetry when the operands coincide)
+        -> [R, K1, K2] moments -> A1 Mom A2^T."""
         if self.tiled:
             fl = self._facelike(family)
-            wb = _family_blocks(w, fl, self.T, self.cs)
-            M1 = jnp.stack([_family_blocks(m, fl, self.T, self.cs) for m in mono1], axis=1)
-            if mono2 is mono1:
-                M2 = M1
-            else:
-                M2 = jnp.stack([_family_blocks(m, fl, self.T, self.cs) for m in mono2], axis=1)
-            mom = jnp.einsum("ckt,clt->ckl", M1 * wb[:, None, :], M2)
-            momR = _cube_scatter(mom.reshape(mom.shape[0], -1), self.roc, self.R)
-            momR = momR.reshape(self.R, A1.shape[1], A2.shape[1])
+            K1, K2 = len(mono1), len(mono2)
+            sym = mono2 is mono1
+            mom = [[None] * K2 for _ in range(K1)]
+            cols = []
+            for k in range(K1):
+                for l in range(K2):
+                    if sym and l < k:
+                        mom[k][l] = mom[l][k]
+                        continue
+                    mom[k][l] = block_sum(w * mono1[k] * mono2[l], fl, self.T, self.cs)
+            momc = jnp.stack([jnp.stack(row, axis=-1) for row in mom], axis=-2)  # [nc, K1, K2]
+            momR = _cube_scatter(momc.reshape(momc.shape[0], -1), self.roc, self.R)
+            momR = momR.reshape(self.R, K1, K2)
             return jnp.einsum("dk,rkl,el->rde", A1, momR, A2)
         C1 = jnp.einsum("dk,k...->d...", A1, jnp.stack(mono1, axis=0))
         C2 = C1 if (mono2 is mono1 and A2 is A1) else jnp.einsum("dk,k...->d...", A2, jnp.stack(mono2, axis=0))
@@ -236,8 +228,7 @@ class _Accumulator:
         """[R, D] accumulation of w * (A m):  A (sum w m)."""
         if self.tiled:
             fl = self._facelike(family)
-            wb = _family_blocks(w, fl, self.T, self.cs)
-            mb = jnp.stack([jnp.sum(_family_blocks(m, fl, self.T, self.cs) * wb, axis=1) for m in mono], axis=-1)
+            mb = jnp.stack([block_sum(w * m, fl, self.T, self.cs) for m in mono], axis=-1)
             mR = _cube_scatter(mb, self.roc, self.R)  # [R, K]
             return mR @ A.T
         C = jnp.einsum("dk,k...->d...", A, jnp.stack(mono, axis=0))
@@ -433,36 +424,20 @@ def finalize_reduced(rd: ReducedData, valid, dt, dtype, D):
 # Tiled J coupling (scatter-free)
 # ---------------------------------------------------------------------------
 
-def _cube_face_offsets(grid: Grid, cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
-    """(ox, oy, oz) offsets from the region COM for every face slot of
-    every cube, each [ncubes, T^3]."""
+def _face_offset_grids(cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
+    """Full-grid (face-shaped) offset component arrays: face position minus
+    the COM of the face's cube's region (broadcast per cube)."""
     dtype = params.dtype
-    nc = cs[0] * cs[1] * cs[2]
-    t3 = T * T * T
-    corner = [(jnp.arange(c, dtype=dtype) * T) for c in cs]
-    gx, gy, gz = jnp.meshgrid(*corner, indexing="ij")
-    corner_flat = [gx.reshape(nc), gy.reshape(nc), gz.reshape(nc)]
-    l = jnp.arange(T, dtype=dtype)
-    lx, ly, lz = jnp.meshgrid(l, l, l, indexing="ij")
-    local = [lx.reshape(t3), ly.reshape(t3), lz.reshape(t3)]
-    # +1 - 0.5 = +0.5 along the face axis (face index cube*T + local + 1)
-    shift_axis = [0.0, 0.0, 0.0]
-    shift_axis[axis] = 0.5
+    shape = cls.face_region[axis].shape
+    off = face_offsets(axis)
     safe = jnp.clip(cls.region_of_cube, 0, com.shape[0] - 1)
     ok = cls.region_of_cube >= 0
-    coords = []
+    out = []
     for i in range(3):
         com_i = jnp.where(ok, com[safe, i], 0.0)
-        coords.append(corner_flat[i][:, None] + local[i][None, :] + shift_axis[i] - com_i[:, None])
-    return coords
-
-
-def _cube_basis(grid: Grid, cls: Classification, com, axis: int, params: SolverParams, T: int, cs):
-    """[ncubes, D, T^3] basis rows for every face slot of every cube.
-    (Kept for verification; the hot paths use the monomial factorization
-    below, which never materializes the D axis per face.)"""
-    ox, oy, oz = _cube_face_offsets(grid, cls, com, axis, params, T, cs)
-    return conversion_coefficients_xyz(ox, oy, oz, axis, params.basis, stack_axis=1)
+        com_grid = block_broadcast(com_i, (axis,), T, cs, shape)
+        out.append(_coord_axis(shape, i, dtype) + off[i] - com_grid)
+    return out
 
 
 def reduce_J_tiled(grid: Grid, cls: Classification, com, s_faces, params: SolverParams, R: int):
@@ -482,10 +457,9 @@ def reduce_J_tiled(grid: Grid, cls: Classification, com, s_faces, params: Solver
         reg = cls.face_region[a]
         red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
         s = jnp.where(red, s_faces[a], 0.0)
-        blocks = _family_blocks(s, (a,), T, cs)
-        ox, oy, oz = _cube_face_offsets(grid, cls, com, a, params, T, cs)
+        ox, oy, oz = _face_offset_grids(cls, com, a, params, T, cs)
         mono = monomials_xyz(ox, oy, oz, params.basis)
-        mu = jnp.stack([jnp.sum(blocks * m, axis=1) for m in mono], axis=-1)  # [nc, K]
+        mu = jnp.stack([block_sum(s * m, (a,), T, cs) for m in mono], axis=-1)  # [nc, K]
         A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
         y_cube = y_cube + mu @ A.T
     return _cube_scatter(y_cube, cls.region_of_cube, R)
@@ -504,11 +478,13 @@ def expand_J_tiled(grid: Grid, cls: Classification, com, w, params: SolverParams
     for a in range(3):
         A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
         v = w_cube @ A  # [nc, K]
-        ox, oy, oz = _cube_face_offsets(grid, cls, com, a, params, T, cs)
-        mono = monomials_xyz(ox, oy, oz, params.basis)
-        u = sum(v[:, k : k + 1] * mono[k] for k in range(len(mono)))
         fshape = cls.face_region[a].shape
-        u_face = _blocks_to_grid(u, (a,), T, cs, fshape)
+        ox, oy, oz = _face_offset_grids(cls, com, a, params, T, cs)
+        mono = monomials_xyz(ox, oy, oz, params.basis)
+        u_face = sum(
+            block_broadcast(v[:, k], (a,), T, cs, fshape) * mono[k]
+            for k in range(len(mono))
+        )
         red = (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)
         out.append(jnp.where(red, u_face, 0.0))
     return out

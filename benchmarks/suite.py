@@ -26,14 +26,19 @@ def run_config(name, grid, scene, params):
 
     from polystokes_tpu import step
 
-    # donate the scene buffers so XLA can reuse them inside the step (the
-    # caller passes a fresh device copy per call)
+    import numpy as np
+
+    # keep the master scene on the host and donate a per-call device copy,
+    # so the step can reuse the input buffers and no second device copy
+    # stays alive
+    host_scene = jax.tree.map(lambda x: np.asarray(x), scene)
     fn = jax.jit(lambda s: step(grid, s, params), donate_argnums=0)
 
     def call():
-        fresh = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, scene)
+        fresh = jax.tree.map(jax.device_put, host_scene)
         out = fn(fresh)
         jax.block_until_ready(out[0])
+        del fresh
         return out
 
     t0 = time.perf_counter()

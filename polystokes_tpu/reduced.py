@@ -132,21 +132,28 @@ def _to_cube_multiple(arr, facelike_axes, T: int, cs):
 
 
 def block_sum(arr, facelike_axes, T: int, cs):
-    """Per-cube sum -> [ncubes].  Implemented as a contiguous 6-D reshape
-    VIEW + reduction over the local axes — never materializes a
-    cube-major transpose (a 6-D [.,T,.,T,.,T] copy pads its trailing
-    16-wide dims to the 128-lane tile: 8x memory at 256^3)."""
+    """Per-cube sum -> [ncubes], one axis at a time (z first, as a
+    lane-dimension reduction).  Every intermediate keeps a wide trailing
+    dim, so nothing pads to the 128-lane tile (a single 6-D cube-major
+    reduction materializes [.,T,.,T,.,T] transposes padded 8x at 256^3)."""
     x = _to_cube_multiple(arr, facelike_axes, T, cs)
-    x = x.reshape(cs[0], T, cs[1], T, cs[2], T)
-    return jnp.sum(x, axis=(1, 3, 5)).reshape(cs[0] * cs[1] * cs[2])
+    # z: [X, Y, cs2*T] -> [X, Y, cs2, T] (view) -> sum last axis
+    x = x.reshape(cs[0] * T, cs[1] * T, cs[2], T).sum(axis=3)
+    # y: [X, cs1, T, cs2] -> sum over the local-y axis
+    x = x.reshape(cs[0] * T, cs[1], T, cs[2]).sum(axis=2)
+    # x: [cs0, T, cs1, cs2]
+    x = x.reshape(cs[0], T, cs[1], cs[2]).sum(axis=1)
+    return x.reshape(cs[0] * cs[1] * cs[2])
 
 
 def block_broadcast(vals, facelike_axes, T: int, cs, out_shape):
     """[ncubes] -> [grid...]: broadcast each cube's value over its cells,
-    re-inserting a zero plane at index 0 along the facelike axes."""
-    v = vals.reshape(cs[0], 1, cs[1], 1, cs[2], 1)
-    x = jnp.broadcast_to(v, (cs[0], T, cs[1], T, cs[2], T))
-    x = x.reshape(cs[0] * T, cs[1] * T, cs[2] * T)
+    re-inserting a zero plane at index 0 along the facelike axes.  Axis at
+    a time, like block_sum, to keep intermediates tile-friendly."""
+    x = vals.reshape(cs[0], cs[1], cs[2])
+    x = jnp.broadcast_to(x[:, :, :, None], (cs[0], cs[1], cs[2], T)).reshape(cs[0], cs[1], cs[2] * T)
+    x = jnp.broadcast_to(x[:, :, None, :], (cs[0], cs[1], T, cs[2] * T)).reshape(cs[0], cs[1] * T, cs[2] * T)
+    x = jnp.broadcast_to(x[:, None, :, :], (cs[0], T, cs[1] * T, cs[2] * T)).reshape(cs[0] * T, cs[1] * T, cs[2] * T)
     crop = list(out_shape)
     pad = [(0, 0)] * 3
     for ax in facelike_axes:

@@ -101,6 +101,12 @@ def main():
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("tiled_armadillo_256", grid, scene, p))
+    if 6 in want:
+        # uniform vs reduced on the same scene — the analog of the
+        # reference's Timings_ArmadilloDrop uniform/reduced comparison
+        grid, scene = honey_coil(n=128, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=False)
+        records.append(run_config("uniform_honey_coil_128", grid, scene, p))
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
     existing = []

@@ -291,7 +291,10 @@ def apply_solution_to_velocity(grid: Grid, cls: Classification, asm: Assembled, 
     solved value, solid faces take the collision velocity; invalid faces
     keep their previous velocity.  Also returns the valid-face masks
     (buildValidFaces, Classifier.cpp:5-54)."""
-    u_red = expand_J(grid, cls, asm.com, w, params)
+    if params.do_reduced_regions:
+        u_red = expand_J(grid, cls, asm.com, w, params)
+    else:
+        u_red = [jnp.zeros(grid.face_shape(a), params.dtype) for a in range(3)]
     new_vel = []
     valid = []
     for a in range(3):

@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     n = int(os.environ.get("BENCH_N", "128"))
-    iters_cap = int(os.environ.get("BENCH_MAX_ITERS", "1500"))
+    iters_cap = int(os.environ.get("BENCH_MAX_ITERS", "12000"))
     import jax
     import jax.numpy as jnp
 

@@ -79,29 +79,31 @@ def main():
 
 
 def _cpu_baseline(n, grid, scene, params, tpu_iters):
+    """Cache the CPU setup time and per-iteration cost (iteration-count
+    independent); extrapolate to this run's iteration count at read time."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
-    key = f"honey_coil_{n}_it{tpu_iters}"
+    key = f"honey_coil_{n}"
     data = {}
     if os.path.exists(cache):
         with open(cache) as f:
             data = json.load(f)
-        if key in data:
-            return data[key]
-    try:
-        t = _measure_cpu(n, grid, scene, params, tpu_iters)
-    except Exception as e:  # noqa: BLE001
-        print(f"cpu baseline failed: {e}", file=sys.stderr, flush=True)
-        t = float("nan")
-    data[key] = t
-    with open(cache, "w") as f:
-        json.dump(data, f)
-    return t
+    rec = data.get(key)
+    if not isinstance(rec, dict):
+        try:
+            rec = _measure_cpu(n, grid, scene, params)
+        except Exception as e:  # noqa: BLE001
+            print(f"cpu baseline failed: {e}", file=sys.stderr, flush=True)
+            rec = {"setup_s": float("nan"), "per_iter_s": float("nan")}
+        data[key] = rec
+        with open(cache, "w") as f:
+            json.dump(data, f)
+    return rec["setup_s"] + rec["per_iter_s"] * max(tpu_iters, 1)
 
 
-def _measure_cpu(n, grid, scene, params, tpu_iters):
-    """Reference-equivalent CPU wall-clock: setup (weights -> classify ->
-    assemble -> sparse blocks) + per-iteration factored matrix-free apply
-    (the reference's hot kernel) extrapolated to the TPU iteration count."""
+def _measure_cpu(n, grid, scene, params):
+    """Reference-equivalent CPU costs: setup (weights -> classify ->
+    assemble -> sparse blocks) and per-iteration factored matrix-free
+    apply (the reference's hot kernel)."""
     import time as _t
 
     import scipy.sparse as sp
@@ -152,7 +154,7 @@ def _measure_cpu(n, grid, scene, params, tpu_iters):
         tau = tau + 1e-3 * ot / alpha
     per_iter = (_t.perf_counter() - t0) / niter
     print(f"cpu per-iter: {per_iter*1e3:.1f}ms", file=sys.stderr, flush=True)
-    return t_setup + per_iter * max(tpu_iters, 1)
+    return {"setup_s": t_setup, "per_iter_s": per_iter}
 
 
 if __name__ == "__main__":

@@ -25,6 +25,13 @@ def main():
     n = int(os.environ.get("BENCH_N", "128"))
     iters_cap = int(os.environ.get("BENCH_MAX_ITERS", "12000"))
     import jax
+
+    cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
     import jax.numpy as jnp
 
     from polystokes_tpu import SolverParams, step

@@ -73,6 +73,15 @@ def main():
     args = ap.parse_args()
     want = {int(c) for c in args.configs.split(",")}
 
+    import jax
+
+    cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     import jax.numpy as jnp
 
     from polystokes_tpu import SolverParams

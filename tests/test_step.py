@@ -162,3 +162,19 @@ def test_keep_non_converged_semantics():
     assert not bool(stats["converged"])
     for a in range(3):
         np.testing.assert_array_equal(np.asarray(out[a]), np.asarray(scene.velocity[a]))
+
+
+def test_step_instrumented_smoke():
+    """Per-stage instrumented step (profiling parity) returns timings."""
+    from polystokes_tpu.profiling import step_instrumented
+
+    grid, _ = sphere_scene(n=16)
+    rng = np.random.default_rng(9)
+    vel = tuple(jnp.asarray(rng.standard_normal(grid.face_shape(a))) for a in range(3))
+    grid, scene = sphere_scene(n=16, velocity=vel)
+    params = small_params(tile_size=8, max_iterations=2000, tolerance=1e-3)
+    out, valid, stats = step_instrumented(grid, scene, params)
+    assert stats["converged"]
+    for key in ("build_integration_weights", "classify", "assemble", "solve"):
+        assert stats["stage_wall_s"][key] > 0
+    assert stats["solve_wall_s"] > 0 and stats["setup_wall_s"] > 0

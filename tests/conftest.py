@@ -15,3 +15,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# XLA:CPU's optimization pipeline takes minutes on the full-step graph;
+# tests check numerics, not speed (exact arithmetic either way).  Set
+# POLYSTOKES_TEST_FULL_OPT=1 to run with the full pipeline.
+if os.environ.get("POLYSTOKES_TEST_FULL_OPT") != "1":
+    try:
+        jax.config.update("jax_disable_most_optimizations", True)
+    except Exception:  # noqa: BLE001 - older jax
+        pass

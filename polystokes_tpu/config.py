@@ -14,11 +14,16 @@ import jax.numpy as jnp
 
 
 class MatrixScheme(enum.Enum):
-    """Which system layout to assemble (reference: units.h:76-83)."""
+    """Which system layout to assemble (reference: units.h:76-83).
+
+    PRESSURE_STRESS is the UI default; the others dispatch through the
+    host explicit path (host_solve.solve_host / export.solve_explicit),
+    the analog of assemble() (AssembleSystem.cpp:4-37)."""
 
     PRESSURE_STRESS = "pressure_stress"
     ALL_DOFS = "all_dofs"
     PRESSURE_VELOCITY = "pressure_velocity"
+    ALL_DOFS_EXPLICIT_INTERIOR_STRESS = "all_dofs_explicit_interior_stress"
 
 
 class SolverType(enum.Enum):
@@ -33,16 +38,23 @@ class SolverType(enum.Enum):
     PCG_MATRIX_VECTOR_PRODUCTS = "pcg_matrix_vector_products"
     BICGSTAB = "bicgstab"
     MINRES = "minres"
+    EIGEN = "eigen"  # host explicit path (host_solve.solve_host)
 
 
 class PreconditionerType(enum.Enum):
     """Preconditioner choice (reference: units.h:47-53).
 
-    The reference hardcodes IDENTITY (Preconditioners.cpp:4-9).
+    The reference hardcodes IDENTITY (Preconditioners.cpp:4-9); its
+    GS_SMOOTHER / EQ_14 alternatives target the explicit velocity-pressure
+    layout and live in the host path (export.solve_explicit).  CELL_ARROW
+    and MULTIGRID are TPU-native additions for the device Schur system
+    (see precond.py / multigrid.py).
     """
 
     IDENTITY = "identity"
     DIAGONAL = "diagonal"
+    CELL_ARROW = "cell_arrow"
+    MULTIGRID = "multigrid"
 
 
 class BasisOrder(enum.Enum):
@@ -67,7 +79,12 @@ class SolverParams:
     max_iterations: int = 5000  # HDK_PolyStokes.C:148
     do_solve: bool = True
     keep_non_converged: bool = True  # keepNonConvergedResults, PRMoneDefaults
+    # warm start: feeds constructGuessVectors (Solver.cpp:521-531) into the
+    # host EIGEN path (the reference's default matrix-free PCG zeroes its
+    # guess, Solver.cpp:770 — parity).  device_warm_start additionally
+    # seeds the device PCG with the same guess (TPU-native opt-in).
     use_warm_start: bool = True
+    device_warm_start: bool = False
 
     # -- reduction topology
     do_reduced_regions: bool = True
@@ -95,8 +112,21 @@ class SolverParams:
     preconditioner: PreconditionerType = PreconditionerType.IDENTITY
     bicgstab_fallback: bool = True
 
+    # -- multigrid preconditioner knobs (multigrid.py; TPU-native addition)
+    mg_levels: int = 5  # max levels incl. finest
+    mg_coarsest: int = 4  # stop coarsening below this resolution
+    mg_smooth_degree: int = 3  # Chebyshev(arrow) smoother degree per half-sweep
+    mg_coarse_iters: int = 4  # extra Chebyshev sweeps at the coarsest level
+
     # -- numerics (TPU-first: fp32 compute by default, fp64 opt-in)
     dtype: jnp.dtype = jnp.float32
+
+    # -- fused Pallas apply (pallas_apply.py).  Requires x/y resolution
+    # divisible by 8 and no active face/edge on the domain boundary (the
+    # packed layout drops those index-0 planes; step() reports a
+    # `boundary_active` stat that must be 0).  Off by default for exact
+    # layout-independence parity; the bench/CLI opt in.
+    use_pallas: bool = False
 
     # -- observability
     export_matrices: bool = False
@@ -107,6 +137,19 @@ class SolverParams:
     @property
     def reduced_dof(self) -> int:
         return self.basis.value
+
+    @property
+    def effective_density(self) -> float:
+        """constant_density clamped into [min_density, max_density] (the
+        reference node's density min/max knobs bound the sampled density
+        field; with constant density the clamp applies directly)."""
+        return min(max(self.constant_density, self.min_density), self.max_density)
+
+    def __post_init__(self):
+        if self.min_density > self.max_density:
+            raise ValueError(f"min_density {self.min_density} > max_density {self.max_density}")
+        if self.tile_size < 1 or self.tile_padding < 0:
+            raise ValueError("tile_size >= 1 and tile_padding >= 0 required")
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)

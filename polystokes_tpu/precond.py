@@ -3,7 +3,8 @@
 The reference hardcodes the identity preconditioner
 (constructPreconditioner, exec/HDK_PolyStokesSolver_Preconditioners.cpp:4-9)
 with block-GS / Eq-14 alternatives implemented but disabled
-(lib/src/Preconditioner.cpp).  Here:
+(lib/src/Preconditioner.cpp; those operate on the velocity/pressure
+explicit layout and are ported in export.py's host path).  Device-side:
 
   * IDENTITY — exact parity with the reference default.
   * DIAGONAL — Jacobi on |diag(A)|, computed matrix-free from the stencil
@@ -13,6 +14,26 @@ with block-GS / Eq-14 alternatives implemented but disabled
     coeff^2 * (c^T BInv c) via a gathered quadratic form.  Since A is
     symmetric negative definite, CG preconditions with the positive
     diagonal |diag(A)|.
+  * CELL_ARROW — per-cell 4x4 block Jacobi over (p, tau_xx, tau_yy,
+    tau_zz) with scalar Jacobi on the edge stresses.  TPU-native design
+    point (no reference equivalent): the Schur stencil reads pressure and
+    normal stress ONLY through g_a = clw * (p - tau_aa) per axis
+    (operators.forward_face_values), so any state with p == tau_xx ==
+    tau_yy == tau_zz makes every face value vanish and A degenerates to
+    the tiny 0.5*uInv mass term there.  With large viscosity (uInv -> 0)
+    this gives a huge cluster of near-zero eigenvalues — the reason
+    identity-PCG needs ~10k iterations on viscous scenes.  The cell's
+    exact 4x4 restriction of -A is the arrow matrix
+
+        [ sum_a k_a   -k_x          -k_y          -k_z        ]
+        [ -k_x         k_x + h       0             0          ]
+        [ -k_y         0             k_y + h       0          ]
+        [ -k_z         0             0             k_z + h    ],
+
+    k_a = sum over the cell's two a-faces of coeff^2 * (dt*McInv + q_red),
+    h = 0.5*uInv; it contains the degenerate (1,1,1,1) direction exactly
+    and inverts in closed form via the scalar Schur complement
+    s = sum_a k_a * h / (k_a + h).
 """
 from __future__ import annotations
 
@@ -53,36 +74,76 @@ def _diag_quadratic_form(grid, cls, asm, params, a):
     return jnp.where(red, q, 0.0)
 
 
-def schur_diagonal(grid, cls, asm: Assembled, params: SolverParams) -> PTau:
-    """|diag(A)| as a PTau (positive on DOFs, zero elsewhere)."""
+def _axis_cell_k_and_edge_diag(grid, cls, asm: Assembled, params: SolverParams):
+    """Per-axis cell coefficients k_a = sum_{f in faces_a(cell)} coeff^2*wgt
+    and the edge-stress diagonals (both halves of |diag(A)| sans the uInv
+    mass terms)."""
     dt = asm.dt
-    p_d = jnp.zeros_like(asm.clw_s)
-    tc_d = [jnp.zeros_like(asm.uinv_c) for _ in range(3)]
+    k = []
     te_d = [jnp.zeros_like(asm.uinv_e[e]) for e in range(3)]
     for a in range(3):
         c_lo, c_hi, erow = coeff_fields(asm, a)
         q = _diag_quadratic_form(grid, cls, asm, params, a) if params.do_reduced_regions else 0.0
         wgt = dt * asm.mc_inv[a] + q  # per-face scalar weight of coeff^2
-        # pressure / center-stress diagonal: coeff^2 over the 2 faces
-        lo = face_at_cell(c_hi**2 * wgt, a, 0)
-        hi = face_at_cell(c_lo**2 * wgt, a, 1)
-        p_d = p_d + lo + hi
-        tc_d[a] = tc_d[a] + lo + hi
+        # cell's lower face carries the c_hi coefficient, upper face c_lo
+        k.append(face_at_cell(c_hi**2 * wgt, a, 0) + face_at_cell(c_lo**2 * wgt, a, 1))
         for e in range(3):
             if e == a:
                 continue
             elo, ehi = erow[e]
             te_d[e] = te_d[e] + scatter_face_to_edge(elo**2 * wgt, a, e, 0) + scatter_face_to_edge(ehi**2 * wgt, a, e, 1)
-    tc = tuple(tc_d[a] + 0.5 * asm.uinv_c for a in range(3))
+    return k, te_d
+
+
+def schur_diagonal(grid, cls, asm: Assembled, params: SolverParams) -> PTau:
+    """|diag(A)| as a PTau (positive on DOFs, zero elsewhere)."""
+    k, te_d = _axis_cell_k_and_edge_diag(grid, cls, asm, params)
+    tc = tuple(k[a] + 0.5 * asm.uinv_c for a in range(3))
     te = tuple(te_d[e] + 0.5 * asm.uinv_e[e] for e in range(3))
-    return PTau(p=p_d, tc=tc, te=te)
+    return PTau(p=k[0] + k[1] + k[2], tc=tc, te=te)
+
+
+def _safe_inv(x):
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+
+def cell_arrow_factors(grid, cls, asm: Assembled, params: SolverParams):
+    """The arrow-block inverse factors (k, inv_d, kd, inv_schur, te_inv)."""
+    k, te_d = _axis_cell_k_and_edge_diag(grid, cls, asm, params)
+    h = 0.5 * asm.uinv_c
+    inv_d = [_safe_inv(k[a] + h) for a in range(3)]
+    # Schur complement of the p row: sum_a k_a - k_a^2/(k_a+h) = sum k_a*h/(k_a+h)
+    schur = sum(k[a] * h * inv_d[a] for a in range(3))
+    inv_schur = _safe_inv(schur)
+    kd = [k[a] * inv_d[a] for a in range(3)]
+    te_inv = tuple(_safe_inv(te_d[e] + 0.5 * asm.uinv_e[e]) for e in range(3))
+    return k, inv_d, kd, inv_schur, te_inv
+
+
+def make_cell_arrow(grid, cls, asm: Assembled, params: SolverParams):
+    """Closed-form inverse of the per-cell 4x4 arrow block (module doc)."""
+    k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
+
+    def solve(r: PTau) -> PTau:
+        z_p = (r.p + sum(kd[a] * r.tc[a] for a in range(3))) * inv_schur
+        z_tc = tuple((r.tc[a] + k[a] * z_p) * inv_d[a] for a in range(3))
+        z_te = tuple(r.te[e] * te_inv[e] for e in range(3))
+        return PTau(p=z_p, tc=z_tc, te=z_te)
+
+    return solve
 
 
 def make_preconditioner(grid, cls, asm: Assembled, params: SolverParams):
     if params.preconditioner == PreconditionerType.IDENTITY:
         return None
+    if params.preconditioner == PreconditionerType.CELL_ARROW:
+        return make_cell_arrow(grid, cls, asm, params)
+    if params.preconditioner == PreconditionerType.MULTIGRID:
+        from .multigrid import make_multigrid
+
+        return make_multigrid(grid, cls, asm, params)
     d = schur_diagonal(grid, cls, asm, params)
-    inv = jax.tree.map(lambda x: jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0), d)
+    inv = jax.tree.map(_safe_inv, d)
 
     def solve(r: PTau) -> PTau:
         return jax.tree.map(jnp.multiply, inv, r)

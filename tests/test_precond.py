@@ -1,0 +1,205 @@
+"""Preconditioner tests.
+
+* CELL_ARROW / DIAGONAL device preconditioners: same solution as
+  identity-PCG, fewer iterations, symmetric as operators.
+* Host ports of the reference's disabled explicit preconditioners
+  (lib/src/Preconditioner.cpp): gauss_seidel_iteration vs a dense loop,
+  GS-smoother 3-step composition vs a literal dense reimplementation,
+  Eq-14 vs dense block algebra, and an end-to-end solve_explicit smoke.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from polystokes_tpu import SolverParams, step
+from polystokes_tpu.config import PreconditionerType
+from polystokes_tpu.export import ExplicitOperators, solve_explicit
+from polystokes_tpu import precond_host
+
+from test_operators import build_all, make_case
+
+
+@pytest.fixture(scope="module")
+def case():
+    grid, params, scene = make_case(reduced=True, solid=True)
+    R, lw, fw, cls, asm, rd, orc = build_all(grid, params, scene)
+    return grid, params, scene, lw, fw, cls, asm, R
+
+
+# ---------------------------------------------------------------------------
+# device preconditioners
+# ---------------------------------------------------------------------------
+
+def test_cell_arrow_is_symmetric(case):
+    grid, params, scene, lw, fw, cls, asm, R = case
+    from polystokes_tpu.precond import make_cell_arrow
+    from polystokes_tpu.operators import PTau
+
+    solve = make_cell_arrow(grid, cls, asm, params)
+    rng = np.random.default_rng(3)
+
+    def rand_ptau():
+        return PTau(
+            p=jnp.asarray(rng.standard_normal(grid.center_shape)),
+            tc=tuple(jnp.asarray(rng.standard_normal(grid.center_shape)) for _ in range(3)),
+            te=tuple(jnp.asarray(rng.standard_normal(np.asarray(asm.uinv_e[e]).shape)) for e in range(3)),
+        )
+
+    r, s = rand_ptau(), rand_ptau()
+    lhs = float(r.dot(solve(s)))
+    rhs = float(s.dot(solve(r)))
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
+
+
+@pytest.mark.parametrize("pc", [PreconditionerType.DIAGONAL, PreconditionerType.CELL_ARROW])
+def test_preconditioned_step_matches_direct(case, pc):
+    """Preconditioning changes iterations, not the solution: compare the
+    device PCG solution against the exact host direct solve (identity-PCG
+    at tight tolerance is too slow for a CPU test baseline)."""
+    from polystokes_tpu.host_solve import solve_host
+
+    grid, params, scene, lw, fw, cls, asm, R = case
+    base = params.replace(max_iterations=4000, bicgstab_fallback=False, tolerance=1e-6)
+    v_direct, _, _ = solve_host(grid, scene, base, method="direct")
+    v1, _, s1 = step(grid, scene, base.replace(preconditioner=pc))
+    assert bool(s1["converged"])
+    scale = max(float(jnp.max(jnp.abs(v_direct[0]))), 1.0)
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v_direct[a]), atol=2e-4 * scale)
+    # the arrow block must beat identity on iterations for a viscous scene
+    if pc == PreconditionerType.CELL_ARROW:
+        _, _, s0 = step(grid, scene, base)
+        assert int(s1["iterations"]) < int(s0["iterations"])
+
+
+# ---------------------------------------------------------------------------
+# host explicit preconditioners (ports of Preconditioner.cpp)
+# ---------------------------------------------------------------------------
+
+def test_gauss_seidel_iteration_matches_dense():
+    rng = np.random.default_rng(0)
+    n = 24
+    Ad = rng.standard_normal((n, n)) * 0.1
+    Ad = Ad + Ad.T + np.eye(n) * 4.0  # diagonally dominant
+    A = sp.csr_matrix(Ad)
+    b = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    x = precond_host.gauss_seidel_iteration(A, b, x0, iters=5)
+
+    # literal dense forward GS
+    xd = x0.copy()
+    for _ in range(5):
+        for i in range(n):
+            xd[i] = (b[i] - Ad[i, :i] @ xd[:i] - Ad[i, i + 1:] @ xd[i + 1:]) / Ad[i, i]
+    np.testing.assert_allclose(x, xd, atol=1e-10)
+
+
+def test_gs_smoother_matches_dense(case):
+    grid, params, scene, lw, fw, cls, asm, R = case
+    ops = ExplicitOperators(grid, cls, asm, params)
+    pre = precond_host.build_gs_smoother(ops)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(pre.n_u + pre.n_w + pre.n_p)
+    z = pre.solve(b)
+
+    # dense literal reimplementation (Preconditioner.cpp:53-158)
+    Mc, Mr, Binv = pre.Mc.toarray(), pre.Mr.toarray(), pre.Binv.toarray()
+    V, G, VJt, JG = pre.V.toarray(), pre.G.toarray(), pre.VJt.toarray(), pre.JG.toarray()
+    dt = pre.dt
+    r_u, r_w, r_p = b[: pre.n_u], b[pre.n_u : pre.n_u + pre.n_w], b[pre.n_u + pre.n_w :]
+    mat = Mc / dt - V
+
+    def gs(mat, rhs, x0, iters):
+        x = x0.copy()
+        L = np.tril(mat)
+        d = np.diag(L).copy()
+        L[np.diag_indices_from(L)] = np.where(d == 0, 1.0, d)
+        U = np.triu(mat, 1)
+        for _ in range(iters):
+            x = np.linalg.solve(L, rhs - U @ x)
+        return x
+
+    z_w0 = np.zeros(pre.n_w)
+    z_p0 = np.zeros(pre.n_p)
+    z_u = gs(mat, Mc @ r_u / dt + VJt @ z_w0 - G @ z_p0, r_u, 16)
+    z_w = Binv @ (Mr @ r_w / dt + VJt.T @ z_u - JG @ z_p0)
+    z_u = gs(mat, Mc @ r_u / dt + VJt @ z_w - G @ z_p0, r_u, 16)
+    expected = np.concatenate([z_u, z_w, r_p])
+    np.testing.assert_allclose(z, expected, atol=1e-8 * max(np.abs(expected).max(), 1.0))
+
+
+def test_eq14_matches_dense(case):
+    grid, params, scene, lw, fw, cls, asm, R = case
+    ops = ExplicitOperators(grid, cls, asm, params)
+    pre = precond_host.build_eq14(ops)
+    rng = np.random.default_rng(2)
+    N = pre.n + pre.m
+    b = rng.standard_normal(N)
+    z = pre.solve(b)
+
+    ADinv = pre.ADinv.toarray()
+    DtildeInv = pre.DtildeInv.toarray()
+    n, m = pre.n, pre.m
+    M1inv = np.eye(N)
+    M1inv[n:, :n] = -ADinv
+    M2inv = np.zeros((N, N))
+    M2inv[:n, :n] = DtildeInv
+    M2inv[n:, n:] = -np.diag(pre.diag_inv)
+    M3inv = M1inv.T
+    expected = M3inv @ (M2inv @ (M1inv @ b))
+    np.testing.assert_allclose(z, expected, atol=1e-9 * max(np.abs(expected).max(), 1.0))
+
+
+def test_solve_explicit_with_host_preconditioners():
+    """GMRES + the ported preconditioners reaches the direct solution (the
+    saddle-structured GS/Eq-14 operators are indefinite, so CG/MINRES are
+    not valid drivers for them)."""
+    # a deliberately tiny case: the GS smoother runs 16 sparse triangular
+    # solves per preconditioner application
+    grid, params, scene = make_case(res=(8, 8, 10), tile=4, reduced=True, solid=False)
+    from test_operators import build_all as _build
+
+    R, lw, fw, cls, asm, rd, orc = _build(grid, params, scene)
+    import scipy.sparse.linalg as spla
+
+    ops = ExplicitOperators(grid, cls, asm, params)
+    PV = ops.pressure_velocity_matrix()
+    v = ops.vectors()
+    dt = float(asm.dt)
+    b = np.concatenate([v["activeRHS"] / dt, v["reducedRHS"] / dt, np.zeros(ops.nP)])
+    bnorm = np.linalg.norm(b)
+    x_plain, _ = spla.gmres(PV, b, rtol=1e-14, maxiter=150)
+    r_plain = np.linalg.norm(b - PV @ x_plain)
+    # GS smoother: effective on the viscous case
+    M = precond_host.build_gs_smoother(ops).as_linear_operator()
+    x_pre, _ = spla.gmres(PV, b, rtol=1e-14, maxiter=150, M=M)
+    r_pre = np.linalg.norm(b - PV @ x_pre)
+    assert r_pre < r_plain, f"gs: {r_pre:.2e} !< {r_plain:.2e}"
+    assert r_pre < 1e-3 * bnorm
+
+    # Eq-14 approximates the velocity block by M/dt alone
+    # (Preconditioners.cpp:43-95), so it only helps when mass dominates
+    # viscosity: validate on a near-inviscid variant of the same scene
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    scene_lo = _dc.replace(scene, viscosity=jnp.full_like(scene.viscosity, 1e-3))
+    R2, lw2, fw2, cls2, asm2, rd2, orc2 = _build(grid, params, scene_lo)
+    ops2 = ExplicitOperators(grid, cls2, asm2, params)
+    PV2 = ops2.pressure_velocity_matrix()
+    v2 = ops2.vectors()
+    b2 = np.concatenate([v2["activeRHS"] / dt, v2["reducedRHS"] / dt, np.zeros(ops2.nP)])
+    x_plain2, _ = spla.gmres(PV2, b2, rtol=1e-14, maxiter=150)
+    r_plain2 = np.linalg.norm(b2 - PV2 @ x_plain2)
+    M2 = precond_host.build_eq14(ops2).as_linear_operator()
+    x_pre2, _ = spla.gmres(PV2, b2, rtol=1e-14, maxiter=150, M=M2)
+    r_pre2 = np.linalg.norm(b2 - PV2 @ x_pre2)
+    # both paths hit machine floor here; the meaningful check is that the
+    # Eq-14-preconditioned iteration converges deeply (i.e. M2 is a valid,
+    # effective approximate inverse for the mass-dominated system)
+    del r_plain2
+    assert r_pre2 < 1e-8 * max(np.linalg.norm(b2), 1.0), f"eq14 residual {r_pre2:.2e}"

@@ -35,9 +35,17 @@ def _number(mask: np.ndarray):
 
 
 class ExplicitOperators:
-    """Host-side explicit sparse blocks built from an Assembled state."""
+    """Host-side explicit sparse blocks built from an Assembled state.
 
-    def __init__(self, grid: Grid, cls: Classification, asm, params: SolverParams):
+    `weights`/`viscosity` (optional) are the raw (liquid_w, fluid_w) dicts
+    and center viscosity — needed only for the reduced-stress diagonals
+    uRed/uInvRed (the Assembled diagonals are active-masked, but the
+    reference sums the *reduced* samples' values per region,
+    ConstructMatrixBlocks.cpp:713-726, 824-867)."""
+
+    def __init__(self, grid: Grid, cls: Classification, asm, params: SolverParams, weights=None, viscosity=None):
+        self.weights = weights
+        self.viscosity = viscosity
         self.grid = grid
         self.params = params
         self.D = params.reduced_dof
@@ -232,6 +240,168 @@ class ExplicitOperators:
     def BInv(self):
         return sp.block_diag(list(np.asarray(self.asm.binv))) if self.R else sp.csr_matrix((0, 0))
 
+    # ------------------------------------------------------------------
+    # Reduced ("internal") stress blocks for the
+    # ALL_DOFS_EXPLICIT_INTERIOR_STRESS scheme: 6 aggregate stress DOFs
+    # per region, layout [XX | YY | ZZ | YZ | XZ | XY] x R
+    # (reducedStressDOF, HDK_PolyStokesSolver.h:607-624;
+    #  nReducedStresses = 6 * regions, ConstructMatrixBlocks.cpp:20).
+    # ------------------------------------------------------------------
+
+    def _reduced_stress_diags(self):
+        """(uRed_diag, uInvRed_diag) as [6R] vectors: the reference pushes
+        one triplet per reduced cell (types XX/YY/ZZ) and per reduced-or-
+        boundary edge (YZ/XZ/XY) onto the region's aggregate diagonal;
+        setFromTriplets sums duplicates (ConstructMatrixBlocks.cpp:713-726,
+        824-867)."""
+        if self.weights is None or self.viscosity is None:
+            raise ValueError("reduced stress blocks need ExplicitOperators(weights=(liquid_w, fluid_w), viscosity=...)")
+        from .config import MINWEIGHT
+        from .solver import edge_viscosity
+        from .classify import BOUNDARY
+
+        liquid_w, fluid_w = self.weights
+        visc_c = np.asarray(self.viscosity, dtype=float)
+        u_d = np.zeros(6 * self.R)
+        uinv_d = np.zeros(6 * self.R)
+
+        def seg_add(out, off, vals, regions, selm):
+            np.add.at(out, off + regions[selm], vals[selm])
+
+        # centers: vw = clamp(fw, MINWEIGHT, 1) * lw; uInv = invVisc*clamp(vw,1e-2,1);
+        # u = visc*clamp(1/vw, 0, 1e2)
+        vw_c = np.clip(np.asarray(fluid_w["center"], float), MINWEIGHT, 1.0) * np.asarray(liquid_w["center"], float)
+        inv_visc = np.clip(1.0 / visc_c, 0.0, 1e10)
+        uinv_c = inv_visc * np.clip(vw_c, 1e-2, 1.0)
+        with np.errstate(divide="ignore"):
+            u_c = visc_c * np.clip(np.where(vw_c > 0, 1.0 / np.maximum(vw_c, 1e-30), 1e2), 0.0, 1e2)
+        cell_red = np.asarray(self.cls.cell_labels) == REDUCED
+        creg = np.asarray(self.cls.cell_region)
+        for a in range(3):
+            seg_add(u_d, a * self.R, u_c, creg, cell_red & (creg >= 0))
+            seg_add(uinv_d, a * self.R, uinv_c, creg, cell_red & (creg >= 0))
+        # edges (label REDUCED or BOUNDARY both count as reduced,
+        # HDK_PolyStokesSolver.h:708-716)
+        for e in range(3):
+            visc_e = np.asarray(edge_viscosity(jnp.asarray(visc_c), e), float)
+            vw = np.clip(np.asarray(fluid_w[f"edge{e}"], float), MINWEIGHT, 1.0) * np.asarray(liquid_w[f"edge{e}"], float)
+            inv_ve = np.clip(1.0 / visc_e, 0.0, 1e10)
+            uinv_e = 2.0 * inv_ve * vw
+            u_e = 0.5 * visc_e * np.clip(np.where(vw > 0, 1.0 / np.maximum(vw, 1e-30), 1e2), 0.0, 1e2)
+            el = np.asarray(self.cls.edge_labels[e])
+            ereg = np.asarray(self.cls.edge_region[e])
+            selm = ((el == REDUCED) | (el == BOUNDARY)) & (ereg >= 0)
+            seg_add(u_d, (3 + e) * self.R, u_e, ereg, selm)
+            seg_add(uinv_d, (3 + e) * self.R, uinv_e, ereg, selm)
+        return u_d, uinv_d
+
+    def uRed(self):
+        return sp.diags(self._reduced_stress_diags()[0], shape=(6 * self.R, 6 * self.R))
+
+    def uInvRed(self):
+        return sp.diags(self._reduced_stress_diags()[1], shape=(6 * self.R, 6 * self.R))
+
+    def JDtRed(self):
+        """[R*D, 6R] internal-stress divergence: for each REDUCED face, the
+        basis-weighted UNWEIGHTED stencil (+-1/dx, no liquid/fluid gating —
+        ConstructMatrixBlocks.cpp:530-548 `contribution = -invDx *
+        divergenceSign`) into the adjacent reduced cells' / edges'
+        per-region aggregate stress DOFs."""
+        from .classify import BOUNDARY
+
+        inv_dx = 1.0 / self.grid.dx
+        rows, cols, vals = [], [], []
+        creg = np.asarray(self.cls.cell_region)
+        cell_red = np.asarray(self.cls.cell_labels) == REDUCED
+        for a in range(3):
+            fl = np.asarray(self.cls.face_labels[a])
+            freg = np.asarray(self.cls.face_region[a])
+            sel_face = (fl == REDUCED) & (freg >= 0)
+            C = self._face_basis(a)
+            # cell targets (side d: 0 lower +1/dx, 1 upper -1/dx)
+            red_pad = np.pad(cell_red & (creg >= 0), [(1, 1) if i == a else (0, 0) for i in range(3)])
+            reg_pad = np.pad(creg, [(1, 1) if i == a else (0, 0) for i in range(3)], constant_values=-1)
+            n = self.grid.res[a]
+            for d, s in ((0, 1.0), (1, -1.0)):
+                sl = [slice(None)] * 3
+                sl[a] = slice(d, d + n + 1)
+                cred = red_pad[tuple(sl)]
+                creg_v = reg_pad[tuple(sl)]
+                ok = sel_face & cred
+                base = (freg[ok] * self.D)[:, None] + np.arange(self.D)[None, :]
+                rows.append(base.ravel())
+                cols.append(np.repeat(creg_v[ok] + a * self.R, self.D))
+                vals.append((s * inv_dx * C[ok]).ravel())
+            # edge targets (side d: 0 -> +1/dx, 1 -> -1/dx, matching _edge_div)
+            for e in range(3):
+                if e == a:
+                    continue
+                el = np.asarray(self.cls.edge_labels[e])
+                ereg = np.asarray(self.cls.edge_region[e])
+                ered = ((el == REDUCED) | (el == BOUNDARY)) & (ereg >= 0)
+                for d, s in ((0, 1.0), (1, -1.0)):
+                    ev_red = self._edge_slice(ered, a, e, d)
+                    ev_reg = self._edge_slice(ereg, a, e, d)
+                    ok = sel_face & ev_red
+                    base = (freg[ok] * self.D)[:, None] + np.arange(self.D)[None, :]
+                    rows.append(base.ravel())
+                    cols.append(np.repeat(ev_reg[ok] + (3 + e) * self.R, self.D))
+                    vals.append((s * inv_dx * C[ok]).ravel())
+        return sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(self.nW, 6 * self.R),
+        ).tocsr()
+
+    def _edge_slice(self, arr, a, e, d):
+        t = 3 - a - e
+        n_t = arr.shape[t] - 1
+        sl = [slice(None)] * 3
+        sl[t] = slice(d, d + n_t)
+        return arr[tuple(sl)]
+
+    def kkt_explicit_interior_stress_matrix(self):
+        """ALL_DOFS_EXPLICIT_INTERIOR_STRESS system over
+        [v_active | v_reduced | p | tau_active | tau_red(6R)]
+        (assembleSystemExplicitInternalStresses, AssembleSystem.cpp:199-281):
+
+          [ Mc/dt   0     G    Dt      0      ]
+          [ 0       Mr    JG   JDt     JDtRed ]
+          [ G^T     JG^T  0    0       0      ]
+          [ Dt^T    JDt^T 0   -uInv/2  0      ]
+          [ 0    JDtRed^T 0    0      -uRed/2 ]
+
+        NOTE (literal parity): the reference stamps Mr with factor 1.0 —
+        NOT invDt like the other schemes (AssembleSystem.cpp:235 vs :75) —
+        and the reduced-stress diagonal uses uRed (not uInvRed)
+        (AssembleSystem.cpp:248); both reproduced as-is.  Invalid region
+        slots get identity Mr blocks / unit reduced-stress diagonals to
+        keep the system nonsingular."""
+        dt = float(self.asm.dt)
+        G, Dt, JG, JDt = self.G(), self.Dt(), self.JG(), self.JDt()
+        JDtRed = self.JDtRed()
+        u_d, _ = self._reduced_stress_diags()
+        valid = np.asarray(self.asm.region_valid)
+        u_d = np.where(np.tile(valid, 6), np.where(u_d == 0, 1.0, u_d), 1.0)
+        mr = np.asarray(self.asm.mr)
+        eye = np.eye(self.D)
+        mr = np.where(valid[:, None, None], mr, eye)
+        Mr = sp.block_diag(list(mr)) if self.R else sp.csr_matrix((0, 0))
+        Mc = self.Mc() / dt
+        nR6 = 6 * self.R
+        rows = [
+            sp.hstack([Mc, sp.csr_matrix((self.nV, self.nW)), G, Dt, sp.csr_matrix((self.nV, nR6))]),
+            sp.hstack([sp.csr_matrix((self.nW, self.nV)), Mr, JG, JDt, JDtRed]),
+            sp.hstack([G.T, JG.T, sp.csr_matrix((self.nP, self.nP + self.nS + nR6))]),
+            sp.hstack([Dt.T, JDt.T, sp.csr_matrix((self.nS, self.nP)), -0.5 * self.uInv(), sp.csr_matrix((self.nS, nR6))]),
+            sp.hstack([sp.csr_matrix((nR6, self.nV)), JDtRed.T, sp.csr_matrix((nR6, self.nP + self.nS)), -0.5 * sp.diags(u_d)]),
+        ]
+        return sp.vstack(rows).tocsr()
+
+    def kkt_explicit_interior_stress_rhs(self):
+        """b for the explicit-interior-stress layout: the reduced-stress
+        rows have zero RHS (AssembleSystem.cpp:254-264)."""
+        return np.concatenate([self.kkt_rhs(), np.zeros(6 * self.R)])
+
     def vectors(self) -> Dict[str, np.ndarray]:
         b_v = np.concatenate([np.asarray(self.asm.b_v[a])[self.face_idx[a] >= 0] for a in range(3)])
         old_v = np.concatenate([np.asarray(self.asm.old_v[a])[self.face_idx[a] >= 0] for a in range(3)])
@@ -343,16 +513,33 @@ class ExplicitOperators:
         return v, w, p, tau
 
 
-def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, scheme: str = "pressure_stress", tol: float = None, maxiter: int = None, warm_start: bool = True):
+def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, scheme: str = "pressure_stress", tol: float = None, maxiter: int = None, warm_start: bool = True, weights=None, viscosity=None, preconditioner: str = None, method: str = "auto"):
     """Host-side explicit solve — the analog of the reference's EIGEN
     SolverType (solveEigenCG, Solver.cpp:814-862): assemble the chosen
-    scheme's sparse system and run scipy CG with the warm-start guess."""
+    scheme's sparse system and run scipy CG with the warm-start guess.
+
+    `preconditioner` (None | 'gs_smoother' | 'eq14') applies the ports of
+    the reference's disabled explicit preconditioners (precond_host.py);
+    both target the [u | w | p] pressure_velocity layout."""
     import scipy.sparse.linalg as spla
 
-    ops = ExplicitOperators(grid, cls, asm, params)
+    ops = ExplicitOperators(grid, cls, asm, params, weights=weights, viscosity=viscosity)
     tol = params.tolerance if tol is None else tol
     maxiter = params.max_iterations if maxiter is None else maxiter
     vg, wg, pg, tg = ops.guess_vectors() if warm_start else (None,) * 4
+
+    M = None
+    if preconditioner is not None:
+        from . import precond_host
+
+        if scheme != "pressure_velocity":
+            raise ValueError("gs_smoother/eq14 precondition the [u|w|p] pressure_velocity layout")
+        if preconditioner == "gs_smoother":
+            M = precond_host.build_gs_smoother(ops).as_linear_operator()
+        elif preconditioner == "eq14":
+            M = precond_host.build_eq14(ops).as_linear_operator()
+        else:
+            raise ValueError(preconditioner)
 
     if scheme == "pressure_stress":
         A = ops.schur_matrix()
@@ -379,12 +566,33 @@ def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, s
         v = ops.vectors()
         b = np.concatenate([v["activeRHS"] / dt, v["reducedRHS"] / dt, np.zeros(ops.nP)])
         x0 = np.concatenate([vg, wg, pg]) if warm_start else None
+    elif scheme == "all_dofs_explicit_interior_stress":
+        A = ops.kkt_explicit_interior_stress_matrix()
+        b = ops.kkt_explicit_interior_stress_rhs()
+        x0 = np.concatenate([vg, wg, pg, tg, np.zeros(6 * ops.R)]) if warm_start else None
     else:
         raise ValueError(scheme)
 
-    x, info = spla.cg(A, b, x0=x0, rtol=tol, maxiter=maxiter)
-    if info != 0:
-        x, info = spla.minres(A, b, x0=x, rtol=tol, maxiter=maxiter)
+    if method == "auto":
+        # CG is only sound for the (negative-)definite pressure-stress Schur
+        # system; the KKT / velocity-pressure layouts are symmetric
+        # indefinite -> MINRES.  (The reference runs Eigen CG on all of
+        # them, Solver.cpp:814-862 — which relies on luck for indefinite
+        # layouts.)
+        method = "cg" if scheme == "pressure_stress" else "minres"
+    if method == "direct":
+        x = spla.spsolve(A.tocsc(), b)
+        info = 0
+    elif method == "minres":
+        x, info = spla.minres(A, b, x0=x0, rtol=tol, maxiter=maxiter)
+    elif method == "gmres":
+        # the only scipy driver that admits an indefinite preconditioner
+        # (the GS-smoother / Eq-14 ports are saddle-structured)
+        x, info = spla.gmres(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M)
+    else:
+        x, info = spla.cg(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M)
+        if info != 0:
+            x, info = spla.minres(A, b, x0=x, rtol=tol, maxiter=maxiter)
     return x, ops, info
 
 

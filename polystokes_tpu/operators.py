@@ -201,7 +201,7 @@ def coeff_fields(asm: "Assembled", a: int):
 def build_diagonals(grid: Grid, cls: Classification, liquid_w, fluid_w, viscosity_c, viscosity_e, params: SolverParams):
     """Mass and stress diagonals (ConstructMatrixBlocks.cpp:361-391,650-867)."""
     dtype = params.dtype
-    rho = jnp.asarray(params.constant_density, dtype)
+    rho = jnp.asarray(params.effective_density, dtype)
 
     mc, mc_inv = [], []
     for a in range(3):

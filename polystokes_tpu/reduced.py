@@ -340,7 +340,7 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
     fitM = jnp.zeros((R, D, D), dtype)
     fitb = jnp.zeros((R, D), dtype)
     mr = jnp.zeros((R, D, D), dtype)
-    rho = jnp.asarray(params.constant_density, dtype)
+    rho = jnp.asarray(params.effective_density, dtype)
     active_cell = is_active(cls.cell_labels)
     inv_dx2 = jnp.asarray(1.0 / (grid.dx * grid.dx), dtype)
     vr = jnp.zeros((R, D, D), dtype)
@@ -414,6 +414,116 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
     best_fit = jnp.where(valid[:, None], best_fit, 0.0)
 
     return ReducedData(com=com, cell_counts=counts, mr=mr, vr=vr, binv=jnp.zeros_like(mr), best_fit=best_fit, b_w=jnp.zeros_like(best_fit))
+
+
+def viscosity_incl_boundary(grid: Grid, cls: Classification, com, viscosity_c, viscosity_e, params: SolverParams, R: int):
+    """Incl-boundary reduced viscosity matrices [R, D, D] — the reference's
+    buildReducedViscosityMatrixSystems variant (Solver.cpp:1696-1909), used
+    by no active scheme but part of the component surface.
+
+    Unlike the interior-only sweep (gating on the *sample* being strictly
+    inside a region), this sweeps reduced FACES: every cell/edge stress
+    sample contributes the pairs of its adjacent faces that are reduced.
+    The same rank-1 identity applies with per-face gating:
+
+      V_r = sum_cells  (mu_c/dx^2)      u_c u_c^T,
+            u_c = c(hi)*chi_hi - c(lo)*chi_lo
+          + sum_edges 0.5 (mu_e/dx^2)   u_e u_e^T,
+            u_e = sum_{4 faces} sigma_f c(f) * chi_f
+
+    with chi_f = 1[face reduced] (the reference's adjacentInteriorIndex >=
+    0 check) and the sample accumulated into the gated faces' region."""
+    from .basis import monomial_matrix, monomials_xyz
+
+    dtype = params.dtype
+    D = params.reduced_dof
+    inv_dx2 = jnp.asarray(1.0 / (grid.dx * grid.dx), dtype)
+    vr = jnp.zeros((R, D, D), dtype)
+
+    def face_red(a):
+        return (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)
+
+    # ---- cell-centered terms
+    shape = cls.cell_labels.shape
+    for a in range(3):
+        A = jnp.asarray(monomial_matrix(a, params.basis), dtype)
+        chi_lo = face_at_cell(face_red(a).astype(dtype), a, 0)
+        chi_hi = face_at_cell(face_red(a).astype(dtype), a, 1)
+        reg_lo = face_at_cell(cls.face_region[a], a, 0)
+        reg_hi = face_at_cell(cls.face_region[a], a, 1)
+        # region of the gated faces (they agree when both reduced)
+        ids = jnp.maximum(
+            jnp.where(chi_lo > 0, reg_lo, -1), jnp.where(chi_hi > 0, reg_hi, -1)
+        )
+        # offsets use the gated faces' region COM (they share a region)
+        gx, gy, gz = gather_com_xyz(com, ids)
+        p = [
+            _coord_axis(shape, 0, dtype) - gx,
+            _coord_axis(shape, 1, dtype) - gy,
+            _coord_axis(shape, 2, dtype) - gz,
+        ]
+        p_lo = list(p)
+        p_hi = list(p)
+        p_lo[a] = p[a] - 0.5
+        p_hi[a] = p[a] + 0.5
+        m_lo = monomials_xyz(p_lo[0], p_lo[1], p_lo[2], params.basis)
+        m_hi = monomials_xyz(p_hi[0], p_hi[1], p_hi[2], params.basis)
+        dm = [h * chi_hi - l * chi_lo for h, l in zip(m_hi, m_lo)]
+        w = viscosity_c.astype(dtype) * inv_dx2 * (ids >= 0).astype(dtype)
+        C = jnp.einsum("dk,k...->d...", A, jnp.stack(dm, axis=0))
+        vr = vr + segment_rank1(C, C, w, ids, R)
+
+    # ---- edge-centered terms
+    for e in range(3):
+        p_ax, q_ax = EDGE_OFFSET_AXES[e]
+        eshape = cls.edge_labels[e].shape
+        chi = {}
+        regs = {}
+        for fa, other in ((p_ax, q_ax), (q_ax, p_ax)):
+            # faces of axis fa around edge g: d=1 -> face index g (the
+            # "up"/at-edge position), d=0 -> face index g - e_t ("dn")
+            red = face_red(fa).astype(dtype)
+            reg = cls.face_region[fa]
+            t = 3 - fa - e  # == other
+
+            def edge_view(arr, d, fill, t=t):
+                pad = [(0, 0)] * 3
+                pad[t] = (1, 0) if d == 0 else (0, 1)
+                return jnp.pad(arr, pad, constant_values=fill)
+
+            chi[(fa, 0)] = edge_view(red, 0, 0)
+            chi[(fa, 1)] = edge_view(red, 1, 0)
+            regs[(fa, 0)] = edge_view(reg, 0, -1)
+            regs[(fa, 1)] = edge_view(reg, 1, -1)
+        ids = jnp.full(eshape, -1, jnp.int32)
+        for key, c in chi.items():
+            ids = jnp.maximum(ids, jnp.where(c > 0, regs[key].astype(jnp.int32), -1))
+        gx, gy, gz = gather_com_xyz(com, ids)
+        pos = [
+            _coord_axis(eshape, 0, dtype) - gx,
+            _coord_axis(eshape, 1, dtype) - gy,
+            _coord_axis(eshape, 2, dtype) - gz,
+        ]
+        mono_stack = []
+        A_parts = []
+        for fa, other in ((p_ax, q_ax), (q_ax, p_ax)):
+            off = face_offsets(fa)
+            up = [pos[i] + off[i] for i in range(3)]
+            dn = list(up)
+            dn[other] = up[other] - 1.0
+            m_up = monomials_xyz(up[0], up[1], up[2], params.basis)
+            m_dn = monomials_xyz(dn[0], dn[1], dn[2], params.basis)
+            mono_stack.extend([
+                d_ * chi[(fa, 0)] - u_ * chi[(fa, 1)] for d_, u_ in zip(m_dn, m_up)
+            ])
+            A_parts.append(monomial_matrix(fa, params.basis))
+        import numpy as _np
+
+        A_stack = jnp.asarray(_np.concatenate(A_parts, axis=1), dtype)
+        w = 0.5 * viscosity_e[e].astype(dtype) * inv_dx2 * (ids >= 0).astype(dtype)
+        C = jnp.einsum("dk,k...->d...", A_stack, jnp.stack(mono_stack, axis=0))
+        vr = vr + segment_rank1(C, C, w, ids, R)
+    return vr
 
 
 def finalize_reduced(rd: ReducedData, valid, dt, dtype, D):

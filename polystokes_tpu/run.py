@@ -34,7 +34,16 @@ def build_argparser():
     p.add_argument("--no-tile", action="store_true")
     p.add_argument("--affine", action="store_true", help="11-DOF affine basis")
     p.add_argument("--fp64", action="store_true")
-    p.add_argument("--diag-precond", action="store_true")
+    p.add_argument("--precond", default="identity",
+                   choices=["identity", "diagonal", "cell_arrow", "multigrid"],
+                   help="device preconditioner (PreconditionerType)")
+    p.add_argument("--diag-precond", action="store_true", help="alias for --precond diagonal")
+    p.add_argument("--solver", default="pcg", choices=["pcg", "eigen"],
+                   help="pcg = device matrix-free; eigen = host explicit path")
+    p.add_argument("--scheme", default="pressure_stress",
+                   choices=["pressure_stress", "all_dofs", "pressure_velocity",
+                            "all_dofs_explicit_interior_stress"],
+                   help="matrix scheme for --solver eigen")
     p.add_argument("--params", help="JSON file overriding SolverParams")
     p.add_argument("--export-prefix", help="export grids/components/stats with this prefix")
     p.add_argument("--export-mtx", action="store_true", help="MatrixMarket instead of npz")
@@ -65,7 +74,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from . import SolverParams, step
-    from .config import BasisOrder, PreconditionerType
+    from .config import BasisOrder, MatrixScheme, PreconditionerType, SolverType
     from .io.checkpoint import load_checkpoint, params_from_json, save_checkpoint
     from .scenes.builders import SCENES
 
@@ -92,7 +101,9 @@ def main(argv=None):
             tolerance=args.tolerance,
             max_iterations=args.max_iterations,
             basis=BasisOrder.AFFINE if args.affine else BasisOrder.QUADRATIC,
-            preconditioner=PreconditionerType.DIAGONAL if args.diag_precond else PreconditionerType.IDENTITY,
+            preconditioner=PreconditionerType.DIAGONAL if args.diag_precond else PreconditionerType(args.precond),
+            solver_type=SolverType.EIGEN if args.solver == "eigen" else SolverType.PCG_MATRIX_VECTOR_PRODUCTS,
+            matrix_scheme=MatrixScheme(args.scheme),
         )
         if args.params:
             with open(args.params) as f:
@@ -119,6 +130,17 @@ def main(argv=None):
             print(f"step {k}:")
             print_stats(stats)
             scene = dataclasses.replace(scene, velocity=vel)
+    elif params.solver_type == SolverType.EIGEN:
+        from .host_solve import solve_host
+
+        for k in range(start, start + args.steps):
+            t0 = time.perf_counter()
+            vel, valid, stats = solve_host(grid, scene, params)
+            print(
+                f"step {k}: {time.perf_counter()-t0:.3f}s  scheme={stats['scheme']}"
+                f"  converged={bool(stats['converged'])}  regions={int(stats['n_regions'])}"
+            )
+            scene = dataclasses.replace(scene, velocity=vel)
     else:
         fn = jax.jit(lambda s: step(grid, s, params))
         for k in range(start, start + args.steps):
@@ -132,7 +154,12 @@ def main(argv=None):
             )
             scene = dataclasses.replace(scene, velocity=vel)
 
-    if args.export_prefix:
+    # exports: the CLI flag takes precedence, otherwise the SolverParams
+    # export knobs drive what gets written (exportMatrices /
+    # exportComponentMatrices / exportStats toggles, HDK_PolyStokes.C:189-206)
+    want_any = args.export_prefix or params.export_matrices or params.export_component_matrices or params.export_stats
+    if want_any:
+        prefix = args.export_prefix or params.export_prefix
         from .classify import classify, effective_max_regions
         from .export import ExplicitOperators, export_component_matrices, export_grids, export_stats
         from .solver import assemble
@@ -142,11 +169,15 @@ def main(argv=None):
         lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
         cls = classify(grid, lw, fw, params)
         asm, _ = assemble(grid, scene, cls, lw, fw, params, R)
-        export_grids(args.export_prefix, cls, lw, fw)
-        ops = ExplicitOperators(grid, cls, asm, params)
-        export_component_matrices(args.export_prefix, ops, fmt="mtx" if args.export_mtx else "npz")
-        export_stats(args.export_prefix, {k: v for k, v in stats.items()})
-        print(f"exported to {args.export_prefix}*")
+        ops = ExplicitOperators(grid, cls, asm, params, weights=(lw, fw), viscosity=scene.viscosity)
+        fmt = "mtx" if args.export_mtx else "npz"
+        if args.export_prefix or params.export_matrices:
+            export_grids(prefix, cls, lw, fw)
+        if args.export_prefix or params.export_component_matrices:
+            export_component_matrices(prefix, ops, fmt=fmt)
+        if args.export_prefix or params.export_stats:
+            export_stats(prefix, {k: v for k, v in stats.items()})
+        print(f"exported to {prefix}*")
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, grid, scene, params, start + args.steps)

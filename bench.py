@@ -35,6 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from polystokes_tpu import SolverParams, step
+    from polystokes_tpu.config import PreconditionerType
     from polystokes_tpu.scenes.builders import honey_coil
 
     params = SolverParams(
@@ -46,6 +47,8 @@ def main():
         tolerance=1e-3,  # reference default; criterion rre < tol^2
         max_iterations=iters_cap,
         bicgstab_fallback=False,
+        preconditioner=PreconditionerType(os.environ.get("BENCH_PRECOND", "cell_arrow")),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
     grid, scene = honey_coil(n=n, dtype=jnp.float32)
 

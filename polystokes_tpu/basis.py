@@ -103,6 +103,48 @@ def monomials_xyz(x, y, z, basis: BasisOrder = BasisOrder.QUADRATIC):
     return [jnp.ones_like(x), x, y, z]
 
 
+def n_monomials(basis: BasisOrder = BasisOrder.QUADRATIC) -> int:
+    return 10 if basis == BasisOrder.QUADRATIC else 4
+
+
+def monomial_shift_matrix(cx, cy, cz, basis: BasisOrder = BasisOrder.QUADRATIC):
+    """S with m_k(p - c) = sum_j S[.., k, j] * m_j(p), for batched offset
+    component arrays cx/cy/cz of any shape (returns [.., K, K]).
+
+    Used by the Pallas moments path: the kernel accumulates moments about
+    each cube's origin; S(com - origin) converts them to the COM-relative
+    moments that the basis algebra expects."""
+    zero = jnp.zeros_like(cx)
+    one = jnp.ones_like(cx)
+
+    def row(entries):
+        return jnp.stack(entries, axis=-1)
+
+    if basis == BasisOrder.AFFINE:
+        rows = [
+            row([one, zero, zero, zero]),
+            row([-cx, one, zero, zero]),
+            row([-cy, zero, one, zero]),
+            row([-cz, zero, zero, one]),
+        ]
+        return jnp.stack(rows, axis=-2)
+
+    # monomial order: [1, x, y, z, x^2, xy, xz, y^2, yz, z^2]
+    rows = [
+        row([one, zero, zero, zero, zero, zero, zero, zero, zero, zero]),
+        row([-cx, one, zero, zero, zero, zero, zero, zero, zero, zero]),
+        row([-cy, zero, one, zero, zero, zero, zero, zero, zero, zero]),
+        row([-cz, zero, zero, one, zero, zero, zero, zero, zero, zero]),
+        row([cx * cx, -2 * cx, zero, zero, one, zero, zero, zero, zero, zero]),
+        row([cx * cy, -cy, -cx, zero, zero, one, zero, zero, zero, zero]),
+        row([cx * cz, -cz, zero, -cx, zero, zero, one, zero, zero, zero]),
+        row([cy * cy, zero, -2 * cy, zero, zero, zero, zero, one, zero, zero]),
+        row([cy * cz, zero, -cz, -cy, zero, zero, zero, zero, one, zero]),
+        row([cz * cz, zero, zero, -2 * cz, zero, zero, zero, zero, zero, one]),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def monomial_matrix(axis: int, basis: BasisOrder = BasisOrder.QUADRATIC):
     """Constant [D, K] combination matrix A with
     conversion_coefficients(o, axis)[d] == sum_k A[d, k] * m_k(o)."""

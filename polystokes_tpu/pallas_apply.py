@@ -1,0 +1,528 @@
+"""Fused Pallas TPU kernels for the pressure-stress Schur apply — the CG
+hot kernel (reference: ApplyPressureStressMatrix::applyMatrixVectorProducts,
+lib/include/ApplyPressureStressMatrix.h:102-179).
+
+The XLA path (operators.forward_face_values / transpose_from_faces) runs
+as several stencil kernels that re-read the gated weight fields; here the
+whole grid branch — forward stencil, -dt*McInv scaling, transpose, and the
+uInv mass terms — fuses into ONE kernel that reads every array once.
+
+Packed layout
+-------------
+All 7 solve fields and all coefficient fields are stored channel-stacked
+as [C, nx, ny, nz] so every channel is exactly lane-aligned at n=128/256
+(face/edge arrays natively carry +1 extents that would pad 129 -> 256
+lanes).  Natural-index mapping:
+
+  * p, tc (cells)      slot (i,j,k) = cell (i,j,k)
+  * face family a      natural face f (f_a in [1..n]) -> slot f - e_a
+  * edge family e      natural edge g (g_p, g_q in [1..n]) -> slot g-e_p-e_q
+
+i.e. the index-0 planes of face/edge arrays are dropped.  This is exact
+whenever no face/edge on the domain boundary is active — true for any
+scene whose liquid does not touch the domain box (all builders; the
+`boundary_active` stat in step() counts violations).  In slot space the
+stencils become (t = 3 - a - e):
+
+  s_a[i]    = ffw_a[i] * ( g_a[i+e_a] - g_a[i] + sum_e (h_e[i-e_t] - h_e[i]) )
+  p[c]     += clw[c] * sum_a (w_a[c-e_a] - w_a[c])
+  tc_a[c]  += -clw[c] * (w_a[c-e_a] - w_a[c]) - uinv2_c[c] * x_tc_a[c]
+  te_e[j]  += elw_e[j] * sum_a (w_a[j+e_t] - w_a[j]) - uinv2_e[j] * x_te_e[j]
+
+with g_a = clw*(p - tc_a), h_e = elw_e*x_te_e, w_a = -dtmcinv_a * s_a.
+
+Blocks tile (x, y) with a 2-cell halo (host-side zero pad); z stays whole
+(full lane dimension).  In-kernel +-1 shifts along x/y are rolls whose
+wrap garbage stays outside the 2-deep interior; z shifts are lane rolls
+with explicit boundary zeroing.
+
+Coefficient channels (pre-scaled at assembly):
+  0 clw_s | 1-3 elw_s | 4-6 ffw | 7-9 dt*mc_inv | 10 0.5*uinv_c | 11-13 0.5*uinv_e
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid import EDGE_OFFSET_AXES
+from .operators import PTau
+
+# halos: shifts reach depth 2, but Mosaic requires the second-to-last
+# block dimension to be divisible by 8, so the y halo is padded to 4
+HALO_X = 2
+HALO_Y = 4
+
+# coefficient channel indices
+C_CLW = 0
+C_ELW = 1  # +e
+C_FFW = 4  # +a
+C_DTMCINV = 7  # +a
+C_UINV2C = 10
+C_UINV2E = 11  # +e
+C_RED = 14  # +a: reduced-face masks (float 0/1)
+N_COEFF = 17
+
+
+def _t_axis(a: int, e: int) -> int:
+    return 3 - a - e
+
+
+# ---------------------------------------------------------------------------
+# Packing (XLA-side)
+# ---------------------------------------------------------------------------
+
+def _face_to_slot(arr, a):
+    """Drop natural face index 0 along a (assumed inactive)."""
+    sl = [slice(None)] * 3
+    sl[a] = slice(1, None)
+    return arr[tuple(sl)]
+
+
+def _edge_to_slot(arr, e):
+    p, q = EDGE_OFFSET_AXES[e]
+    sl = [slice(None)] * 3
+    sl[p] = slice(1, None)
+    sl[q] = slice(1, None)
+    return arr[tuple(sl)]
+
+
+def _slot_to_face(arr, a):
+    pad = [(0, 0)] * 3
+    pad[a] = (1, 0)
+    return jnp.pad(arr, pad)
+
+
+def _slot_to_edge(arr, e):
+    p, q = EDGE_OFFSET_AXES[e]
+    pad = [(0, 0)] * 3
+    pad[p] = (1, 0)
+    pad[q] = (1, 0)
+    return jnp.pad(arr, pad)
+
+
+def pack_ptau(x: PTau) -> jnp.ndarray:
+    """PTau -> [7, nx, ny, nz]."""
+    chans = [x.p] + list(x.tc) + [_edge_to_slot(x.te[e], e) for e in range(3)]
+    return jnp.stack(chans, axis=0)
+
+
+def unpack_ptau(packed: jnp.ndarray) -> PTau:
+    return PTau(
+        p=packed[0],
+        tc=tuple(packed[1 + a] for a in range(3)),
+        te=tuple(_slot_to_edge(packed[4 + e], e) for e in range(3)),
+    )
+
+
+def pack_coeffs(asm, cls=None) -> jnp.ndarray:
+    """Assembled -> [17, nx+2Hx, ny+2Hy, nz] pre-scaled, pre-halo-padded
+    coefficient stack (built once per step, reused every iteration).  The
+    last 3 channels are the reduced-face masks (zero when cls is None)."""
+    from .classify import REDUCED
+
+    chans = [asm.clw_s]
+    chans += [_edge_to_slot(asm.elw_s[e], e) for e in range(3)]
+    chans += [_face_to_slot(asm.ffw[a], a) for a in range(3)]
+    chans += [_face_to_slot(asm.dt * asm.mc_inv[a], a) for a in range(3)]
+    chans += [0.5 * asm.uinv_c]
+    chans += [_edge_to_slot(0.5 * asm.uinv_e[e], e) for e in range(3)]
+    dtype = asm.clw_s.dtype
+    for a in range(3):
+        if cls is None:
+            chans.append(jnp.zeros_like(asm.clw_s))
+        else:
+            red = (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)
+            chans.append(_face_to_slot(red.astype(dtype), a))
+    return _pad_halo(jnp.stack(chans, axis=0))
+
+
+def _pad_halo(x):
+    """Zero halo along x and y (axes -3, -2)."""
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (HALO_X, HALO_X)
+    pad[-2] = (HALO_Y, HALO_Y)
+    return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel shift helpers
+# ---------------------------------------------------------------------------
+
+def _roll(v, d, axis):
+    """out[i] = v[i + d] (circular); pltpu.roll wants non-negative shifts."""
+    return pltpu.roll(v, (-d) % v.shape[axis], axis=axis)
+
+
+def _shift_x(v, d):
+    """v at (x + d): roll along axis 0.  Wrap garbage stays in the halo."""
+    return _roll(v, d, 0)
+
+
+def _shift_y(v, d):
+    return _roll(v, d, 1)
+
+
+def _shift_z(v, d):
+    """v at (z + d) with zero fill at the real domain boundary."""
+    nz = v.shape[2]
+    rolled = _roll(v, d, 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, dimension=2)
+    if d > 0:
+        return jnp.where(lane < nz - d, rolled, 0.0)
+    return jnp.where(lane >= -d, rolled, 0.0)
+
+
+_SHIFTS = (_shift_x, _shift_y, _shift_z)
+
+
+def _shift(v, axis, d):
+    return _SHIFTS[axis](v, d)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _forward_s(xr, cr):
+    """s_a (list of 3) on the extended block from x/coeff block refs."""
+    p = xr[0]
+    h = [cr[C_ELW + e] * xr[4 + e] for e in range(3)]
+    s = []
+    for a in range(3):
+        g = cr[C_CLW] * (p - xr[1 + a])
+        v = _shift(g, a, 1) - g
+        for e in range(3):
+            if e == a:
+                continue
+            t = _t_axis(a, e)
+            v = v + _shift(h[e], t, -1) - h[e]
+        s.append(cr[C_FFW + a] * v)
+    return s
+
+
+def _transpose_out(xr, cr, w, out_ref, extra=None):
+    """out channels from face values w (slot space), incl. the uInv mass
+    terms; writes the interior [HALO:-HALO, HALO:-HALO]."""
+    itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+    dsum = []
+    p_acc = None
+    for a in range(3):
+        d = _shift(w[a], a, -1) - w[a]
+        dsum.append(d)
+        p_acc = d if p_acc is None else p_acc + d
+    clw = cr[C_CLW]
+    out_ref[0] = (clw * p_acc)[itr]
+    for a in range(3):
+        out_ref[1 + a] = (-clw * dsum[a] - cr[C_UINV2C] * xr[1 + a])[itr]
+    for e in range(3):
+        p_ax, q_ax = EDGE_OFFSET_AXES[e]
+        acc = None
+        for a in (p_ax, q_ax):
+            t = _t_axis(a, e)
+            v = _shift(w[a], t, 1) - w[a]
+            acc = v if acc is None else acc + v
+        out_ref[4 + e] = (cr[C_ELW + e] * acc - cr[C_UINV2E + e] * xr[4 + e])[itr]
+
+
+def _apply_kernel_uniform(xr, cr, out_ref):
+    s = _forward_s(xr, cr)
+    w = [-cr[C_DTMCINV + a] * s[a] for a in range(3)]
+    _transpose_out(xr, cr, w, out_ref)
+
+
+def _forward_kernel(xr, cr, s_ref):
+    s = _forward_s(xr, cr)
+    itr = (slice(HALO_X, s[0].shape[0] - HALO_X), slice(HALO_Y, s[0].shape[1] - HALO_Y), slice(None))
+    for a in range(3):
+        s_ref[a] = s[a][itr]
+
+
+def _combine_kernel(xr, cr, sr, ur, out_ref):
+    """fv = -dtmcinv*s - u_red; transpose + mass terms."""
+    w = [-cr[C_DTMCINV + a] * sr[a] - ur[a] for a in range(3)]
+    _transpose_out(xr, cr, w, out_ref)
+
+
+def _apply_reduced_kernel(xr, cr, ur, out_ref):
+    """The full reduced apply given precomputed u = J^T BInv J x face
+    values: recomputes s in-block (cheaper than materializing it to HBM),
+    fv = -dtmcinv*s - u, transpose + mass terms."""
+    s = _forward_s(xr, cr)
+    w = [-cr[C_DTMCINV + a] * s[a] - ur[a] for a in range(3)]
+    _transpose_out(xr, cr, w, out_ref)
+
+
+def _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn):
+    """Kernel: per-cube monomial moments of the reduced-masked s, taken
+    about each cube's ORIGIN (lower corner) — positions stay in [0, T], so
+    fp32 is well-conditioned and no COM data enters the kernel; the XLA
+    side shifts moments to COM-relative with monomial_shift_matrix.
+
+    Mosaic-friendly reductions: sublane sums over (x, y) to a (K, nz) row
+    block, then one MXU matmul against the 0/1 z-cube indicator matrix
+    gives all per-z-cube sums at once.  Outputs mom[cpbx, cpby, 3K, cs2]."""
+    cpbx, cpby = bx // T, by // T
+    cs2 = nz // T
+
+    def kernel(xr, cr, mom_ref):
+        s = _forward_s(xr, cr)
+        # z-cube indicator [nz, cs2] and cube-local z coordinate
+        zi = jax.lax.broadcasted_iota(jnp.int32, (nz, cs2), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nz, cs2), 1)
+        Z = (zi // T == ci).astype(s[0].dtype)
+        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
+        pz_local = (lz3 - T * (lz3 // T)).astype(s[0].dtype)
+        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(s[0].dtype)
+        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(s[0].dtype)
+        for a in range(3):
+            sm = s[a] * cr[C_RED + a]
+            for lc in range(cpbx):
+                for mc in range(cpby):
+                    sub = sm[
+                        HALO_X + lc * T : HALO_X + (lc + 1) * T,
+                        HALO_Y + mc * T : HALO_Y + (mc + 1) * T,
+                        :,
+                    ]
+                    pos = [lx3, ly3, pz_local]
+                    pos = list(pos)
+                    pos[a] = pos[a] + 0.5  # face position = slot + 1/2
+                    mono = mono_fn(pos[0], pos[1], pos[2])
+                    rows = [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)]
+                    rows = jnp.stack(rows, axis=0)  # (K, nz)
+                    mom_ref[lc, mc, a * K : (a + 1) * K, :] = jnp.dot(
+                        rows, Z, preferred_element_type=rows.dtype
+                    )
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
+    """Kernel: evaluate the region polynomials on reduced faces,
+    u_a = chi_a * sum_k v[cube, aK+k] * m_k(p - cube_origin), with v given
+    in the cube-origin monomial basis ([cs0, cs1, 3K, cs2]).  The per-z-
+    cube coefficients expand to full-z rows via one MXU matmul against the
+    z-cube indicator."""
+    cpbx, cpby = bx // T, by // T
+    cs2 = nz // T
+
+    def kernel(red_ref, v_ref, u_ref):
+        dtype = red_ref.dtype
+        zi = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 0)
+        Zt = (zi // T == ci).astype(dtype)  # (cs2, nz)
+        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
+        pz_local = (lz3 - T * (lz3 // T)).astype(dtype)
+        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(dtype)
+        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(dtype)
+        for a in range(3):
+            for lc in range(cpbx):
+                for mc in range(cpby):
+                    vrow = v_ref[lc, mc, a * K : (a + 1) * K, :]  # (K, cs2)
+                    vfull = jnp.dot(vrow, Zt, preferred_element_type=dtype)  # (K, nz)
+                    pos = [lx3, ly3, pz_local]
+                    pos[a] = pos[a] + 0.5
+                    mono = mono_fn(pos[0], pos[1], pos[2])
+                    acc = None
+                    for k in range(K):
+                        term = mono[k] * vfull[k][None, None, :]
+                        acc = term if acc is None else acc + term
+                    chi = red_ref[a, lc * T : (lc + 1) * T, mc * T : (mc + 1) * T, :]
+                    u_ref[a, lc * T : (lc + 1) * T, mc * T : (mc + 1) * T, :] = acc * chi
+
+    return kernel
+
+
+def expand_packed(v_origin, coeffs_padded, res, T, basis, interpret=None):
+    """u faces [3, nx, ny, nz] from cube-origin-basis coefficients
+    v_origin [cs0, cs1, 3K, cs2] — the fused replacement for
+    expand_J_tiled's K block_broadcast passes per axis."""
+    from .basis import monomials_xyz, n_monomials
+
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _pick_block(nx), _pick_block(ny)
+    K = n_monomials(basis)
+    cpbx, cpby = bx // T, by // T
+    cs = tuple(-(-n // T) for n in res)
+
+    def mono_fn(ox, oy, oz):
+        return monomials_xyz(ox, oy, oz, basis)
+
+    kernel = _make_expand_kernel(K, T, bx, by, nz, mono_fn)
+    red_spec = pl.BlockSpec(
+        (pl.Element(3), pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (C_RED, i * bx + HALO_X, j * by + HALO_Y, 0),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    u_spec = pl.BlockSpec(
+        (3, bx, by, nz), lambda i, j: (0, i, j, 0),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nx // bx, ny // by),
+        in_specs=[red_spec, v_spec],
+        out_specs=u_spec,
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), v_origin.dtype),
+        interpret=interpret,
+    )(coeffs_padded, v_origin)
+
+
+def _pick_block(n):
+    for b in (16, 8):
+        if n % b == 0:
+            return b
+    raise ValueError(f"pallas path needs x/y resolution divisible by 8 (got {n})")
+
+
+def _grid_and_specs(res: Tuple[int, int, int], chans_in, interpret: bool):
+    """Overlapping halo windows via all-Element BlockSpecs: inputs are
+    pre-padded by HALO along x/y, and block (i, j) reads the element
+    window [i*bx, i*bx + bx + 2*HALO) of the padded array."""
+    nx, ny, nz = res
+    bx, by = _pick_block(nx), _pick_block(ny)
+    grid = (nx // bx, ny // by)
+
+    def in_spec(c):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
+            lambda i, j: (0, i * bx, j * by, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    def out_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    return grid, [in_spec(c) for c in chans_in], out_spec
+
+
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def apply_uniform_packed(xp, coeffs_padded, res, interpret=None):
+    """out = (grid part of A) x, packed [7,...] -> [7,...], one fused kernel."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    return pl.pallas_call(
+        _apply_kernel_uniform,
+        grid=grid,
+        in_specs=[xspec, cspec],
+        out_specs=out_spec(7),
+        out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
+        interpret=interpret,
+    )(_pad_halo(xp), coeffs_padded)
+
+
+def forward_s_packed(xp, coeffs_padded, res, interpret=None):
+    """s = [G Dt] x on all faces (slot space), packed [3,...]."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    return pl.pallas_call(
+        _forward_kernel,
+        grid=grid,
+        in_specs=[xspec, cspec],
+        out_specs=out_spec(3),
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), xp.dtype),
+        interpret=interpret,
+    )(_pad_halo(xp), coeffs_padded)
+
+
+def combine_packed(xp, coeffs_padded, sp, up, res, interpret=None):
+    """out = [G Dt]^T (-dt McInv s - u_red) - mass terms."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    grid, (xspec, cspec, sspec, uspec), out_spec = _grid_and_specs(res, (7, N_COEFF, 3, 3), interpret)
+    return pl.pallas_call(
+        _combine_kernel,
+        grid=grid,
+        in_specs=[xspec, cspec, sspec, uspec],
+        out_specs=out_spec(7),
+        out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
+        interpret=interpret,
+    )(_pad_halo(xp), coeffs_padded, _pad_halo(sp), _pad_halo(up))
+
+
+def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
+    """Fused reduced apply from pre-padded x and the XLA-expanded u."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    grid, (xspec, cspec, uspec), out_spec = _grid_and_specs(res, (7, N_COEFF, 3), interpret)
+    return pl.pallas_call(
+        _apply_reduced_kernel,
+        grid=grid,
+        in_specs=[xspec, cspec, uspec],
+        out_specs=out_spec(7),
+        out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp_padded.dtype),
+        interpret=interpret,
+    )(xp_padded, coeffs_padded, _pad_halo(up))
+
+
+def pallas_compatible(grid_res, params) -> bool:
+    """Static check for the packed kernel path: x/y divisible by the block
+    size, and (when reduced) the tile size dividing the block and every
+    axis (the moments kernel reduces whole cubes per block)."""
+    try:
+        bx, by = _pick_block(grid_res[0]), _pick_block(grid_res[1])
+    except ValueError:
+        return False
+    if params.do_reduced_regions:
+        if not params.do_tile or params.tile_padding < 1:
+            return False  # general-region path has no packed moments kernel
+        T = params.tile_size
+        if T > min(bx, by) or bx % T or by % T:
+            return False
+        if any(n % T for n in grid_res):
+            return False
+    return True
+
+
+def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
+    """Per-cube monomial moments (about cube origins) of the
+    reduced-masked s: the fused replacement for reduce_J_tiled's 3*K
+    full-grid block_sum passes.  Returns [cs0, cs1, 3K, cs2]."""
+    from .basis import monomials_xyz, n_monomials
+
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _pick_block(nx), _pick_block(ny)
+    K = n_monomials(basis)
+    cpbx, cpby = bx // T, by // T
+    cs = tuple(-(-n // T) for n in res)
+
+    def mono_fn(ox, oy, oz):
+        return monomials_xyz(ox, oy, oz, basis)
+
+    kernel = _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn)
+    grid, (xspec, cspec), _ = _grid_and_specs(res, (7, N_COEFF), interpret)
+    mom_spec = pl.BlockSpec(
+        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xspec, cspec],
+        out_specs=mom_spec,
+        out_shape=jax.ShapeDtypeStruct((cs[0], cs[1], 3 * K, cs[2]), xp_padded.dtype),
+        interpret=interpret,
+    )(xp_padded, coeffs_padded)

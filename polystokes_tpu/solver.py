@@ -239,8 +239,126 @@ def assemble(grid: Grid, scene: Scene, cls: Classification, liquid_w, fluid_w, p
 #  lib/include/ApplyPressureStressMatrix.h:102-179)
 # ---------------------------------------------------------------------------
 
+def _use_packed(grid: Grid, params: SolverParams) -> bool:
+    from .pallas_apply import pallas_compatible
+
+    return (
+        params.use_pallas
+        and params.preconditioner != PreconditionerType.MULTIGRID
+        and pallas_compatible(grid.res, params)
+    )
+
+
+def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+    """The fused-kernel apply on packed [7, nx, ny, nz] vectors.  The
+    reduced J coupling runs as: fused per-cube moments kernel -> tiny
+    region algebra (scatter + batched BInv) -> XLA polynomial expand ->
+    fused combine kernel (which recomputes s in-block)."""
+    from .basis import monomial_matrix, monomial_shift_matrix, n_monomials
+    from .pallas_apply import (
+        _pad_halo,
+        apply_reduced_packed,
+        apply_uniform_packed,
+        expand_packed,
+        moments_packed,
+        pack_coeffs,
+    )
+
+    reduced = params.do_reduced_regions
+    coeffs = pack_coeffs(asm, cls if reduced else None)
+    if not reduced:
+
+        def apply_uniform(xp):
+            return apply_uniform_packed(xp, coeffs, grid.res)
+
+        return apply_uniform
+
+    from .reduced import _cube_scatter
+
+    T = params.tile_size
+    K = n_monomials(params.basis)
+    A_mats = [jnp.asarray(monomial_matrix(a, params.basis), params.dtype) for a in range(3)]
+    # setup: per-cube shift matrices turning cube-origin moments into
+    # COM-relative moments (S(com - origin); kernel uses origin-local
+    # positions for fp32 conditioning)
+    cs = tuple(-(-n // T) for n in grid.res)
+    origins = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(c, dtype=params.dtype) * T for c in cs], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    roc = cls.region_of_cube
+    safe = jnp.clip(roc, 0, asm.com.shape[0] - 1)
+    com_cube = jnp.where((roc >= 0)[:, None], asm.com[safe], 0.0)
+    cprime = com_cube - origins  # [nc, 3]
+    S = monomial_shift_matrix(cprime[:, 0], cprime[:, 1], cprime[:, 2], params.basis)
+
+    nc = cs[0] * cs[1] * cs[2]
+    safe_cube = jnp.clip(roc, 0, R - 1)
+    cube_ok = (roc >= 0).astype(params.dtype)
+
+    def apply_packed(xp):
+        xpad = _pad_halo(xp)
+        mom = moments_packed(xpad, coeffs, grid.res, T, params.basis)
+        m = jnp.transpose(mom, (0, 1, 3, 2)).reshape(-1, 3, K)  # [nc, 3, K] raw
+        m_rel = jnp.einsum("ckj,caj->cak", S, m)
+        y = sum(m_rel[:, a, :] @ A_mats[a].T for a in range(3))  # [nc, D]
+        yR = _cube_scatter(y, cls.region_of_cube, R)
+        w = jnp.einsum("rij,rj->ri", asm.binv, yR)
+        w_cube = w[safe_cube] * cube_ok[:, None]  # [nc, D]
+        v_com = jnp.stack([w_cube @ A_mats[a] for a in range(3)], axis=1)  # [nc, 3, K]
+        v_origin = jnp.einsum("ckj,cak->caj", S, v_com)
+        v_arr = jnp.transpose(
+            v_origin.reshape(cs[0], cs[1], cs[2], 3 * K), (0, 1, 3, 2)
+        )
+        up = expand_packed(v_arr, coeffs, grid.res, T, params.basis)
+        return apply_reduced_packed(xpad, coeffs, up, grid.res)
+
+    return apply_packed
+
+
+def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams):
+    """Packed-layout preconditioners (identity / Jacobi / arrow)."""
+    from .pallas_apply import _edge_to_slot, pack_ptau
+
+    if params.preconditioner == PreconditionerType.IDENTITY:
+        return None
+    if params.preconditioner == PreconditionerType.CELL_ARROW:
+        from .precond import cell_arrow_factors
+
+        k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
+        te_inv_s = [_edge_to_slot(te_inv[e], e) for e in range(3)]
+
+        def solve_arrow(rp):
+            z_p = (rp[0] + sum(kd[a] * rp[1 + a] for a in range(3))) * inv_schur
+            z_tc = [(rp[1 + a] + k[a] * z_p) * inv_d[a] for a in range(3)]
+            z_te = [rp[4 + e] * te_inv_s[e] for e in range(3)]
+            return jnp.stack([z_p] + z_tc + z_te, axis=0)
+
+        return solve_arrow
+
+    from .precond import _safe_inv, schur_diagonal
+
+    d = schur_diagonal(grid, cls, asm, params)
+    inv_packed = pack_ptau(jax.tree.map(_safe_inv, d))
+
+    def solve_diag(rp):
+        return inv_packed * rp
+
+    return solve_diag
+
+
 def make_apply(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
     reduced = params.do_reduced_regions
+
+    if params.use_pallas and _use_packed(grid, params):
+        from .pallas_apply import pack_ptau, unpack_ptau
+
+        apply_packed = make_apply_packed(grid, cls, asm, params, R)
+
+        def apply_A_pallas(x: PTau) -> PTau:
+            return unpack_ptau(apply_packed(pack_ptau(x)))
+
+        return apply_A_pallas
 
     def apply_A(x: PTau) -> PTau:
         s = forward_face_values(asm, x)  # (G p + Dt tau) on every face
@@ -347,27 +465,59 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
         tc=tuple(jnp.zeros(grid.center_shape, params.dtype) for _ in range(3)),
         te=tuple(jnp.zeros_like(asm.uinv_e[e]) for e in range(3)),
     )
+    if params.device_warm_start and params.use_warm_start:
+        # constructGuessVectors (Solver.cpp:521-531) on device:
+        # p = -(G^T v + JG^T w), tau = 2 uInv (Dt^T v + JDt^T w), with v
+        # the old active velocities and w the region best fit.  The
+        # reference's device-default PCG zeroes the guess (Solver.cpp:770);
+        # this is the TPU-native opt-in equivalent of the EIGEN
+        # solveWithGuess path.
+        fguess = list(asm.old_v)
+        if params.do_reduced_regions:
+            u_fit = expand_J(grid, cls, asm.com, asm.best_fit, params)
+            fguess = [fguess[a] + u_fit[a] for a in range(3)]
+        t = transpose_from_faces(asm, fguess)
+        x0 = PTau(
+            p=-t.p,
+            tc=tuple(2.0 * asm.uinv_c * t.tc[a] for a in range(3)),
+            te=tuple(2.0 * asm.uinv_e[e] * t.te[e] for e in range(3)),
+        )
 
-    from .precond import make_preconditioner
+    # packed fast path: the whole Krylov loop runs on channel-stacked
+    # [7, nx, ny, nz] vectors through the fused Pallas kernels, with one
+    # pack before and one unpack after (pallas_apply.py)
+    packed = _use_packed(grid, params)
+    if packed:
+        from .pallas_apply import pack_ptau, unpack_ptau
 
-    precond = make_preconditioner(grid, cls, asm, params)
+        apply_K = make_apply_packed(grid, cls, asm, params, R)
+        precond = make_preconditioner_packed(grid, cls, asm, params)
+        b_K = pack_ptau(b)
+        x0_K = pack_ptau(x0)
+    else:
+        from .precond import make_preconditioner
+
+        apply_K = apply_A
+        precond = make_preconditioner(grid, cls, asm, params)
+        b_K = b
+        x0_K = x0
 
     if params.do_solve:
         if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
-            res = krylov.pcg(apply_A, b, x0, precond=precond, tol=params.tolerance, max_iters=params.max_iterations)
+            res = krylov.pcg(apply_K, b_K, x0_K, precond=precond, tol=params.tolerance, max_iters=params.max_iterations)
             if params.bicgstab_fallback:
                 def _fallback(_):
-                    return krylov.bicgstab(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+                    return krylov.bicgstab(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)
 
                 def _keep(r):
                     return r
 
                 res = jax.lax.cond(res.converged, _keep, _fallback, res)
         elif params.solver_type == SolverType.BICGSTAB:
-            res = krylov.bicgstab(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
+            res = krylov.bicgstab(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)
         else:
-            res = krylov.minres(apply_A, b, x0, tol=params.tolerance, max_iters=params.max_iterations)
-        x = res.x
+            res = krylov.minres(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)
+        x = unpack_ptau(res.x) if packed else res.x
     else:
         res = krylov.KrylovResult(x=x0, iterations=jnp.int32(0), error=jnp.asarray(0.0, params.dtype), converged=jnp.bool_(True))
         x = x0
@@ -381,8 +531,24 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
         keep = res.converged
         new_vel = tuple(jnp.where(keep, nv, scene.velocity[a].astype(params.dtype)) for a, nv in enumerate(new_vel))
 
+    # activity on the dropped index-0 boundary planes (must be 0 for the
+    # packed Pallas layout to be exact; see pallas_apply.py docstring)
+    boundary_active = jnp.int32(0)
+    for a in range(3):
+        sl = [slice(None)] * 3
+        sl[a] = slice(0, 1)
+        boundary_active += jnp.sum(is_active(cls.face_labels[a][tuple(sl)]))
+    for e in range(3):
+        from .grid import EDGE_OFFSET_AXES
+
+        for ax in EDGE_OFFSET_AXES[e]:
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, 1)
+            boundary_active += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
+
     n_center, n_faces, n_edges = _dof_counts(cls)
     stats = {
+        "boundary_active": boundary_active,
         "iterations": res.iterations,
         "error": res.error,
         "converged": res.converged,

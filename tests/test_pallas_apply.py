@@ -1,0 +1,124 @@
+"""Fused Pallas apply == XLA apply (interpret mode on CPU).
+
+The packed layout drops index-0 face/edge planes; the test scenes keep
+liquid off the domain boundary, so the operators must agree exactly on
+all DOFs (and the boundary_active stat must be 0)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from polystokes_tpu.operators import PTau
+
+from test_operators import build_all, make_case
+
+
+def _make(reduced):
+    # x/y must be divisible by 8 for the pallas block picker; the packed
+    # layout requires liquid strictly inside the domain box (make_case's
+    # all-liquid surface would activate boundary faces)
+    import dataclasses
+
+    from polystokes_tpu import sdf
+
+    # tile 8 divides the 16-block and every axis -> pallas-compatible
+    grid, params, scene = make_case(res=(16, 16, 16), tile=8, reduced=reduced, solid=False)
+    params = params.replace(dtype=jnp.float32, use_pallas=False, tile_padding=2)
+    inner = sdf.box((0.12, 0.12, 0.12), (0.88, 0.88, 0.88))
+    surface = sdf.sample_at_centers(inner, grid.res, grid.dx, params.dtype)
+    scene = dataclasses.replace(scene, surface_sdf=surface)
+    R, lw, fw, cls, asm, rd, orc = build_all(grid, params, scene)
+    return grid, params, scene, cls, asm, R
+
+
+@pytest.mark.parametrize("reduced", [False, True])
+def test_pallas_apply_matches_xla(reduced):
+    from polystokes_tpu.solver import _use_packed, make_apply
+
+    grid, params, scene, cls, asm, R = _make(reduced)
+    assert _use_packed(grid, params.replace(use_pallas=True))  # path really taken
+    rng = np.random.default_rng(0)
+    x = PTau(
+        p=jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype),
+        tc=tuple(jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype) for _ in range(3)),
+        te=tuple(jnp.asarray(rng.standard_normal(np.asarray(asm.uinv_e[e]).shape), params.dtype) for e in range(3)),
+    )
+    y_xla = make_apply(grid, cls, asm, params, R)(x)
+    y_pl = make_apply(grid, cls, asm, params.replace(use_pallas=True), R)(x)
+
+    def maxdiff(a, b):
+        return float(jnp.max(jnp.abs(a - b)))
+
+    scale = max(float(jnp.max(jnp.abs(y_xla.p))), 1.0)
+    assert maxdiff(y_xla.p, y_pl.p) < 1e-5 * scale
+    for a in range(3):
+        assert maxdiff(y_xla.tc[a], y_pl.tc[a]) < 1e-5 * scale
+    for e in range(3):
+        # the pallas path leaves the dropped index-0 planes at 0; the XLA
+        # path also produces 0 there when nothing on the boundary is active
+        assert maxdiff(y_xla.te[e], y_pl.te[e]) < 1e-5 * scale
+
+
+def test_pack_roundtrip():
+    from polystokes_tpu.pallas_apply import pack_ptau, unpack_ptau
+
+    grid, params, scene, cls, asm, R = _make(False)
+    rng = np.random.default_rng(1)
+    x = PTau(
+        p=jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype),
+        tc=tuple(jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype) for _ in range(3)),
+        te=tuple(jnp.asarray(rng.standard_normal(np.asarray(asm.uinv_e[e]).shape), params.dtype) for e in range(3)),
+    )
+    # zero the dropped boundary planes so the roundtrip is exact
+    def zero_bnd(arr, e):
+        from polystokes_tpu.grid import EDGE_OFFSET_AXES
+
+        for ax in EDGE_OFFSET_AXES[e]:
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, 1)
+            arr = arr.at[tuple(sl)].set(0.0)
+        return arr
+
+    x = PTau(p=x.p, tc=x.tc, te=tuple(zero_bnd(x.te[e], e) for e in range(3)))
+    x2 = unpack_ptau(pack_ptau(x))
+    assert float(jnp.max(jnp.abs(x.p - x2.p))) == 0.0
+    for e in range(3):
+        assert float(jnp.max(jnp.abs(x.te[e] - x2.te[e]))) == 0.0
+
+
+@pytest.mark.parametrize("pc", ["cell_arrow", "diagonal"])
+def test_packed_step_matches_xla_step(pc):
+    """Full packed-loop step == XLA step (same iterations, same velocities).
+    Identity is omitted: it cannot converge a viscous case in a CPU-sized
+    iteration budget (the apply-level test already covers that path)."""
+    from polystokes_tpu import step
+    from polystokes_tpu.config import PreconditionerType
+
+    grid, params, scene, cls, asm, R = _make(True)
+    params = params.replace(
+        max_iterations=2000, bicgstab_fallback=False, tolerance=1e-5,
+        preconditioner=PreconditionerType(pc),
+    )
+    v0, _, s0 = step(grid, scene, params)
+    v1, _, s1 = step(grid, scene, params.replace(use_pallas=True))
+    # both must converge: capped runs drift apart in fp32 iteration noise
+    assert bool(s0["converged"]) and bool(s1["converged"])
+    assert abs(int(s1["iterations"]) - int(s0["iterations"])) <= 3
+    scale = max(float(jnp.max(jnp.abs(v0[0]))), 1e-8)
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v0[a]), atol=2e-4 * scale)
+
+
+def test_boundary_active_stat():
+    from polystokes_tpu import step
+
+    # interior liquid -> 0; all-liquid box -> nonzero (detects violations)
+    grid, params, scene, cls, asm, R = _make(True)
+    params = params.replace(max_iterations=5, bicgstab_fallback=False)
+    _, _, stats = step(grid, scene, params)
+    assert int(stats["boundary_active"]) == 0
+
+    grid2, params2, scene2 = make_case(res=(16, 16, 12), tile=6, reduced=True, solid=False)
+    params2 = params2.replace(dtype=jnp.float32, max_iterations=5, bicgstab_fallback=False)
+    _, _, stats2 = step(grid2, scene2, params2)
+    assert int(stats2["boundary_active"]) > 0

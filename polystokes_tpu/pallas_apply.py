@@ -340,10 +340,12 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
     return kernel
 
 
-def expand_packed(v_origin, coeffs_padded, res, T, basis, interpret=None):
+def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
     """u faces [3, nx, ny, nz] from cube-origin-basis coefficients
     v_origin [cs0, cs1, 3K, cs2] — the fused replacement for
-    expand_J_tiled's K block_broadcast passes per axis."""
+    expand_J_tiled's K block_broadcast passes per axis.  `red_packed`
+    [3, nx, ny, nz] is the unpadded reduced-face mask (a halo-offset
+    Element window start would break Mosaic's sublane alignment)."""
     from .basis import monomials_xyz, n_monomials
 
     interpret = _auto_interpret(interpret)
@@ -358,8 +360,7 @@ def expand_packed(v_origin, coeffs_padded, res, T, basis, interpret=None):
 
     kernel = _make_expand_kernel(K, T, bx, by, nz, mono_fn)
     red_spec = pl.BlockSpec(
-        (pl.Element(3), pl.Element(bx), pl.Element(by), pl.Element(nz)),
-        lambda i, j: (C_RED, i * bx + HALO_X, j * by + HALO_Y, 0),
+        (3, bx, by, nz), lambda i, j: (0, i, j, 0),
         memory_space=None if interpret else pltpu.VMEM,
     )
     v_spec = pl.BlockSpec(
@@ -377,7 +378,7 @@ def expand_packed(v_origin, coeffs_padded, res, T, basis, interpret=None):
         out_specs=u_spec,
         out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), v_origin.dtype),
         interpret=interpret,
-    )(coeffs_padded, v_origin)
+    )(red_packed, v_origin)
 
 
 def _pick_block(n):

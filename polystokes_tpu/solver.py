@@ -295,6 +295,16 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
     nc = cs[0] * cs[1] * cs[2]
     safe_cube = jnp.clip(roc, 0, R - 1)
     cube_ok = (roc >= 0).astype(params.dtype)
+    from .classify import REDUCED as _RED
+    from .pallas_apply import _face_to_slot as _f2s
+
+    red_packed = jnp.stack(
+        [
+            _f2s(((cls.face_labels[a] == _RED) & (cls.face_region[a] >= 0)).astype(params.dtype), a)
+            for a in range(3)
+        ],
+        axis=0,
+    )
 
     def apply_packed(xp):
         xpad = _pad_halo(xp)
@@ -310,7 +320,7 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
         v_arr = jnp.transpose(
             v_origin.reshape(cs[0], cs[1], cs[2], 3 * K), (0, 1, 3, 2)
         )
-        up = expand_packed(v_arr, coeffs, grid.res, T, params.basis)
+        up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
         return apply_reduced_packed(xpad, coeffs, up, grid.res)
 
     return apply_packed

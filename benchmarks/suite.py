@@ -69,7 +69,9 @@ def run_config(name, grid, scene, params):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
-    ap.add_argument("--iters-cap", type=int, default=1200)
+    ap.add_argument("--iters-cap", type=int, default=20000)
+    ap.add_argument("--precond", default="cell_arrow")
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
     want = {int(c) for c in args.configs.split(",")}
 
@@ -87,7 +89,13 @@ def main():
     from polystokes_tpu import SolverParams
     from polystokes_tpu.scenes.builders import armadillo_melt, conveyor_belt, honey_coil, viscous_beam
 
-    base = dict(dtype=jnp.float32, max_iterations=args.iters_cap, bicgstab_fallback=False, tolerance=1e-3)
+    from polystokes_tpu.config import PreconditionerType
+
+    base = dict(
+        dtype=jnp.float32, max_iterations=args.iters_cap, bicgstab_fallback=False,
+        tolerance=1e-3, preconditioner=PreconditionerType(args.precond),
+        use_pallas=not args.no_pallas,
+    )
     records = []
 
     if 1 in want:
@@ -107,8 +115,10 @@ def main():
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("solid_coupled_conveyor_64", grid, scene, p))
     if 5 in want:
+        # tile 8 keeps the fused Pallas moment/expand kernels in play at
+        # 256^3 (tile 16 exceeds the VMEM-guarded 8-wide x blocks)
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
-        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=8, tile_padding=2)
         records.append(run_config("tiled_armadillo_256", grid, scene, p))
     if 6 in want:
         # uniform vs reduced on the same scene — the analog of the

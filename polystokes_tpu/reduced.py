@@ -407,10 +407,12 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
 
     # ---- batched least-squares solve (reference: per-region fullPivLu,
     # Solver.cpp:401-416) on the MXU
+    from .linalg import solve_spd
+
     eye = jnp.eye(D, dtype=dtype)
     valid = cls.region_valid
     fitM_safe = jnp.where(valid[:, None, None], fitM, eye)
-    best_fit = jnp.linalg.solve(fitM_safe, fitb[..., None])[..., 0]
+    best_fit = solve_spd(fitM_safe, fitb[..., None])[..., 0]
     best_fit = jnp.where(valid[:, None], best_fit, 0.0)
 
     return ReducedData(com=com, cell_counts=counts, mr=mr, vr=vr, binv=jnp.zeros_like(mr), best_fit=best_fit, b_w=jnp.zeros_like(best_fit))
@@ -528,10 +530,12 @@ def viscosity_incl_boundary(grid: Grid, cls: Classification, com, viscosity_c, v
 
 def finalize_reduced(rd: ReducedData, valid, dt, dtype, D):
     """B = Mr/dt + 2 Vr per region; invert (AssembleBlocks.cpp:196-244)."""
+    from .linalg import inv_spd
+
     eye = jnp.eye(D, dtype=dtype)
     B = rd.mr / dt + 2.0 * rd.vr
     B_safe = jnp.where(valid[:, None, None], B, eye)
-    binv = jnp.linalg.inv(B_safe)
+    binv = inv_spd(B_safe)
     binv = jnp.where(valid[:, None, None], binv, 0.0)
     b_w = jnp.einsum("rij,rj->ri", rd.mr, rd.best_fit)
     return dataclasses.replace(rd, binv=binv, b_w=b_w)

@@ -47,30 +47,37 @@ from .reduced import _face_basis_leading, gather_com
 
 
 def _diag_quadratic_form(grid, cls, asm, params, a):
-    """q_f = c_f^T BInv[r_f] c_f per face of axis a (0 on non-reduced)."""
+    """q_f = c_f^T BInv[r_f] c_f per face of axis a (0 on non-reduced).
+
+    Monomial-factored: with c = A m(off), q = sum_{kl} G[r][k,l] m_k m_l
+    where G = A^T BInv A is a tiny per-region [K, K] matrix — so only
+    scalar per-face gathers and K(K+1)/2 elementwise passes run on the
+    grid (a [26, grid] basis tensor is 1.75 GB at 256^3)."""
+    from .basis import monomial_matrix, monomials_xyz, n_monomials
+    from .grid import face_offsets
+    from .reduced import _coord_axis, gather_com_xyz
+
+    dtype = params.dtype
     reg = cls.face_region[a]
     red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
-    C = _face_basis_leading(cls, asm.com, a, params)
     safe = jnp.clip(reg, 0, asm.binv.shape[0] - 1)
+    A = jnp.asarray(monomial_matrix(a, params.basis), dtype)
+    G = jnp.einsum("dk,rde,el->rkl", A, asm.binv, A)  # [R, K, K]
 
     shape = reg.shape
-    D = C.shape[0]
-    Cf = C.reshape(D, -1).T
-    rf = safe.reshape(-1)
-    # chunked gather of BInv so the [N, D, D] intermediate stays small
-    chunk = 1 << 15
-    N = Cf.shape[0]
-    pad = (-N) % chunk
-    Cf = jnp.pad(Cf, ((0, pad), (0, 0)))
-    rf = jnp.pad(rf, (0, pad))
-
-    def body(args):
-        c, r = args
-        B = asm.binv[r]
-        return jnp.einsum("ni,nij,nj->n", c, B, c)
-
-    q = jax.lax.map(body, (Cf.reshape(-1, chunk, D), rf.reshape(-1, chunk)))
-    q = q.reshape(-1)[:N].reshape(shape)
+    cx, cy, cz = gather_com_xyz(asm.com, reg)
+    off = face_offsets(a)
+    px = _coord_axis(shape, 0, dtype) + off[0] - cx
+    py = _coord_axis(shape, 1, dtype) + off[1] - cy
+    pz = _coord_axis(shape, 2, dtype) + off[2] - cz
+    mono = monomials_xyz(px, py, pz, params.basis)
+    K = n_monomials(params.basis)
+    q = jnp.zeros(shape, dtype)
+    for k in range(K):
+        for l in range(k, K):
+            gkl = G[:, k, l][safe]
+            scale = 1.0 if k == l else 2.0
+            q = q + scale * gkl * mono[k] * mono[l]
     return jnp.where(red, q, 0.0)
 
 

@@ -467,7 +467,10 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
     cls = classify(grid, liquid_w, fluid_w, params)
     asm, rd = assemble(grid, scene, cls, liquid_w, fluid_w, params, R)
 
-    apply_A = make_apply(grid, cls, asm, params, R)
+    packed = _use_packed(grid, params)
+    # the PTau-space apply is only needed for the non-packed Krylov loop
+    # (building both would double the coefficient-stack constants)
+    apply_A = None if packed else make_apply(grid, cls, asm, params, R)
     b = build_rhs(grid, cls, asm, params, R)
 
     x0 = PTau(
@@ -496,7 +499,6 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
     # packed fast path: the whole Krylov loop runs on channel-stacked
     # [7, nx, ny, nz] vectors through the fused Pallas kernels, with one
     # pack before and one unpack after (pallas_apply.py)
-    packed = _use_packed(grid, params)
     if packed:
         from .pallas_apply import pack_ptau, unpack_ptau
 

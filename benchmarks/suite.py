@@ -115,10 +115,12 @@ def main():
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("solid_coupled_conveyor_64", grid, scene, p))
     if 5 in want:
-        # tile 8 keeps the fused Pallas moment/expand kernels in play at
-        # 256^3 (tile 16 exceeds the VMEM-guarded 8-wide x blocks)
+        # tile 16 at 256^3: the packed kernels need tile <= the
+        # VMEM-guarded 8-wide blocks there, so this runs the XLA path;
+        # tile 8 (65536 region slots) currently faults the device in the
+        # batched region algebra (ROADMAP known issue)
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
-        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=8, tile_padding=2)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("tiled_armadillo_256", grid, scene, p))
     if 6 in want:
         # uniform vs reduced on the same scene — the analog of the

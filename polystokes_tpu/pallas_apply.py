@@ -350,7 +350,7 @@ def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
 
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    bx, by = _pick_block(nx), _pick_block(ny)
+    bx, by = _blocks_for(res)
     K = n_monomials(basis)
     cpbx, cpby = bx // T, by // T
     cs = tuple(-(-n // T) for n in res)
@@ -388,12 +388,26 @@ def _pick_block(n):
     raise ValueError(f"pallas path needs x/y resolution divisible by 8 (got {n})")
 
 
+def _blocks_for(res):
+    """(bx, by) with a VMEM budget guard: the ~27-channel window set
+    (bx+2Hx, by+2Hy, nz) must stay under the 16MB scoped-vmem limit, so
+    both blocks halve when z is large."""
+    nx, ny, nz = res
+    bx, by = _pick_block(nx), _pick_block(ny)
+    if nz > 128:
+        if bx == 16 and nx % 8 == 0:
+            bx = 8
+        if by == 16 and ny % 8 == 0:
+            by = 8
+    return bx, by
+
+
 def _grid_and_specs(res: Tuple[int, int, int], chans_in, interpret: bool):
     """Overlapping halo windows via all-Element BlockSpecs: inputs are
     pre-padded by HALO along x/y, and block (i, j) reads the element
     window [i*bx, i*bx + bx + 2*HALO) of the padded array."""
     nx, ny, nz = res
-    bx, by = _pick_block(nx), _pick_block(ny)
+    bx, by = _blocks_for(res)
     grid = (nx // bx, ny // by)
 
     def in_spec(c):
@@ -483,7 +497,7 @@ def pallas_compatible(grid_res, params) -> bool:
     size, and (when reduced) the tile size dividing the block and every
     axis (the moments kernel reduces whole cubes per block)."""
     try:
-        bx, by = _pick_block(grid_res[0]), _pick_block(grid_res[1])
+        bx, by = _blocks_for(grid_res)
     except ValueError:
         return False
     if params.do_reduced_regions:
@@ -505,7 +519,7 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
 
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    bx, by = _pick_block(nx), _pick_block(ny)
+    bx, by = _blocks_for(res)
     K = n_monomials(basis)
     cpbx, cpby = bx // T, by // T
     cs = tuple(-(-n // T) for n in res)

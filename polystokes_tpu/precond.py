@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from .classify import REDUCED
 from .config import PreconditionerType, SolverParams
 from .operators import Assembled, PTau, coeff_fields, face_at_cell, scatter_face_to_edge
-from .reduced import _face_basis_leading, gather_com
+from .reduced import gather_com
 
 
 def _diag_quadratic_form(grid, cls, asm, params, a):

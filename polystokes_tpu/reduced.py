@@ -627,31 +627,61 @@ def _face_basis_leading(cls, com, axis: int, params: SolverParams):
     return conversion_coefficients_xyz(px, py, pz, axis, params.basis, stack_axis=0)
 
 
+def _face_monomials_general(cls, com, axis: int, params: SolverParams):
+    """Monomial list at every face of `axis` about the face's region COM."""
+    from .basis import monomials_xyz
+
+    dtype = params.dtype
+    shape = cls.face_region[axis].shape
+    cx, cy, cz = gather_com_xyz(com, cls.face_region[axis])
+    off = face_offsets(axis)
+    px = _coord_axis(shape, 0, dtype) + off[0] - cx
+    py = _coord_axis(shape, 1, dtype) + off[1] - cy
+    pz = _coord_axis(shape, 2, dtype) + off[2] - cz
+    return monomials_xyz(px, py, pz, params.basis)
+
+
 def reduce_J(grid: Grid, cls: Classification, com, s_faces, params: SolverParams, R: int):
-    """y = J x: accumulate basis-weighted face stencil values per region."""
+    """y = J x: accumulate basis-weighted face stencil values per region.
+
+    General path is monomial-factored like the tiled one: K-wide segment
+    sums of s*m_k followed by a tiny [R, K] @ A^T — never materializing
+    the [D=26, grid] basis tensor."""
     if _use_tiled(params):
         return reduce_J_tiled(grid, cls, com, s_faces, params, R)
+    from .basis import monomial_matrix
+
     y = jnp.zeros((R, params.reduced_dof), dtype=params.dtype)
     for a in range(3):
         reg = cls.face_region[a]
         red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
-        C = _face_basis_leading(cls, com, a, params)
-        vals = C * jnp.where(red, s_faces[a], 0.0)[None]
-        y = y + segment_sum_vec(vals, jnp.where(red, reg, -1), R)
+        s = jnp.where(red, s_faces[a], 0.0)
+        mono = _face_monomials_general(cls, com, a, params)
+        vals = jnp.stack([s * m for m in mono], axis=0)  # [K, grid]
+        mu = segment_sum_vec(vals, jnp.where(red, reg, -1), R)  # [R, K]
+        A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
+        y = y + mu @ A.T
     return y
 
 
 def expand_J(grid: Grid, cls: Classification, com, w, params: SolverParams):
-    """u_face = basis(face) . w[region] on reduced faces == J^T w rows."""
+    """u_face = basis(face) . w[region] on reduced faces == J^T w rows.
+
+    General path: v = w A per region ([R, K]), then K scalar per-face
+    gathers u = sum_k v_k[reg] * m_k — instead of a 26-wide gather of w
+    plus the [26, grid] basis tensor."""
     if _use_tiled(params):
         return expand_J_tiled(grid, cls, com, w, params)
+    from .basis import monomial_matrix
+
     out = []
     for a in range(3):
         reg = cls.face_region[a]
         red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
-        C = _face_basis_leading(cls, com, a, params)
         safe = jnp.clip(reg, 0, w.shape[0] - 1)
-        wf = jnp.moveaxis(w[safe], -1, 0)  # [D, faces...]
-        u = jnp.sum(C * wf, axis=0)
+        A = jnp.asarray(monomial_matrix(a, params.basis), params.dtype)
+        v = w @ A  # [R, K]
+        mono = _face_monomials_general(cls, com, a, params)
+        u = sum(v[:, k][safe] * mono[k] for k in range(len(mono)))
         out.append(jnp.where(red, u, 0.0))
     return out

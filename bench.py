@@ -51,6 +51,9 @@ def main():
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
     grid, scene = honey_coil(n=n, dtype=jnp.float32)
+    from polystokes_tpu.solver import check_pallas
+
+    params = check_pallas(grid, scene, params)
 
     fn = jax.jit(lambda s: step(grid, s, params))
     t0 = time.perf_counter()

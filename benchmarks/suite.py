@@ -25,9 +25,11 @@ def run_config(name, grid, scene, params):
     import jax
 
     from polystokes_tpu import step
+    from polystokes_tpu.solver import check_pallas
 
     import numpy as np
 
+    params = check_pallas(grid, scene, params)
     # keep the master scene on the host and donate a per-call device copy,
     # so the step can reuse the input buffers and no second device copy
     # stays alive

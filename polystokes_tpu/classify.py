@@ -190,9 +190,11 @@ def construct_reduced_regions(labels, liquid_w, params: SolverParams):
 
 def connected_components(labels, liquid_w, max_iters: int):
     """Return per-cell component label (min linear index in component; -1
-    where not REDUCED).  Converges in O(component diameter) sweeps; with
-    tiling on, components are confined to tile cubes so the diameter is at
-    most ~3 * tile_size."""
+    where not REDUCED).  Converges in O(component diameter) sweeps, bounded
+    by `max_iters` (an un-merged long component then splits into several
+    regions — each still a valid region, matching the conservative
+    direction); with tiling on, components are confined to tile cubes so
+    the diameter is at most ~3 * tile_size and the bound is never hit."""
     red = labels == REDUCED
     n = labels.size
     lin = jnp.arange(n, dtype=jnp.int32).reshape(labels.shape)
@@ -204,7 +206,7 @@ def connected_components(labels, liquid_w, max_iters: int):
         conn.append((lower_faces(fw, a) > 0, upper_faces(fw, a) > 0))
 
     def body(state):
-        comp, _ = state
+        comp, _, k = state
         new = comp
         for a in range(3):
             lo_ok, hi_ok = conn[a]
@@ -214,13 +216,91 @@ def connected_components(labels, liquid_w, max_iters: int):
             new = jnp.minimum(new, jnp.where(hi_ok, above, n))
         new = jnp.where(red, new, jnp.int32(n))
         changed = jnp.any(new != comp)
-        return new, changed
+        return new, changed, k + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    comp, _ = jax.lax.while_loop(cond, lambda s: body(s), (comp0, jnp.bool_(True)))
+    comp, _, _ = jax.lax.while_loop(cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
     return jnp.where(red, comp, INVALID_REGION)
+
+
+def connected_components_callback(labels, liquid_w):
+    """Host-side union-find CC (native/polystokes_native.cpp) wired into
+    the jitted pipeline via jax.pure_callback — the O(N α(N)) alternative
+    to the O(diameter) device propagation for large UNTILED domains (the
+    reference uses Houdini's host CC builder, Classifier.cpp:218-239).
+    Opt-in via SolverParams.cc_host_callback; produces the same partition
+    as `connected_components` up to component relabeling (compact_regions
+    is label-agnostic)."""
+    import numpy as np
+
+    shape = labels.shape
+
+    def host_cc(lbl, fwx, fwy, fwz):
+        from .native import connected_components_host
+
+        res = connected_components_host(
+            np.asarray(lbl), np.asarray(fwx), np.asarray(fwy), np.asarray(fwz)
+        )
+        if res is None:  # native lib unavailable: pure-numpy union-find
+            return _numpy_cc(np.asarray(lbl), np.asarray(fwx), np.asarray(fwy), np.asarray(fwz))
+        return res[0].astype(np.int32)
+
+    out_shape = jax.ShapeDtypeStruct(shape, jnp.int32)
+    return jax.pure_callback(
+        host_cc,
+        out_shape,
+        labels,
+        liquid_w["face0"],
+        liquid_w["face1"],
+        liquid_w["face2"],
+        vmap_method="sequential",
+    )
+
+
+def _numpy_cc(labels, fwx, fwy, fwz):
+    """scipy fallback union-find when the native .so cannot be built."""
+    import numpy as np
+    from scipy import ndimage
+
+    red = labels == int(REDUCED)
+    # connectivity only across faces with positive liquid weight: emulate
+    # by severing cells whose shared face has zero weight — scipy's label
+    # uses full 6-connectivity, so handle the (rare) zero-weight-face case
+    # by a manual union-find sweep instead when any such face exists
+    interior_x = fwx[1:-1] > 0
+    interior_y = fwy[:, 1:-1] > 0
+    interior_z = fwz[:, :, 1:-1] > 0
+    if interior_x.all() and interior_y.all() and interior_z.all():
+        lab, _n = ndimage.label(red)
+        return np.where(red, lab - 1, -1).astype(np.int32)
+    n = labels.size
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    idx = np.arange(n).reshape(labels.shape)
+    for a, fw in ((0, fwx), (1, fwy), (2, fwz)):
+        sl_lo = [slice(None)] * 3
+        sl_lo[a] = slice(0, labels.shape[a] - 1)
+        sl_hi = [slice(None)] * 3
+        sl_hi[a] = slice(1, labels.shape[a])
+        sl_f = [slice(None)] * 3
+        sl_f[a] = slice(1, labels.shape[a])
+        ok = red[tuple(sl_lo)] & red[tuple(sl_hi)] & (fw[tuple(sl_f)] > 0)
+        lo = idx[tuple(sl_lo)][ok]
+        hi = idx[tuple(sl_hi)][ok]
+        for i, j in zip(lo.ravel(), hi.ravel()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(n)]).reshape(labels.shape)
+    return np.where(red, roots, -1).astype(np.int32)
 
 
 def compact_regions(comp, max_regions: int):
@@ -570,7 +650,10 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
 
     if params.do_reduced_regions:
         cc_iters = 4 * params.tile_size if params.do_tile else sum(grid.res)
-        comp = connected_components(cell_labels, liquid_w, cc_iters)
+        if params.cc_host_callback and not params.do_tile:
+            comp = connected_components_callback(cell_labels, liquid_w)
+        else:
+            comp = connected_components(cell_labels, liquid_w, cc_iters)
         cell_region, region_valid, n_regions, overflow = compact_regions(comp, max_regions)
         cell_labels, cell_region = fix_region_boundaries(cell_labels, cell_region, params.region_fix_max_iters)
         cell_labels, cell_region, region_valid = fix_small_regions(cell_labels, cell_region, region_valid, max_regions)

@@ -100,6 +100,11 @@ class SolverParams:
     # Bound on iterations of the region-boundary separation sweep
     # (reference: serial while loop, Classifier.cpp:1093-1171).
     region_fix_max_iters: int = 8
+    # Untiled path: run connected components on the host (native
+    # union-find via jax.pure_callback, O(N α(N))) instead of the
+    # O(diameter) on-device min-propagation — the analog of the
+    # reference's host CC builder (Classifier.cpp:218-239).
+    cc_host_callback: bool = False
 
     # -- material
     constant_density: float = 1.0

@@ -513,19 +513,26 @@ class ExplicitOperators:
         return v, w, p, tau
 
 
-def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, scheme: str = "pressure_stress", tol: float = None, maxiter: int = None, warm_start: bool = True, weights=None, viscosity=None, preconditioner: str = None, method: str = "auto"):
+def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, scheme: str = "pressure_stress", tol: float = None, maxiter: int = None, warm_start: bool = True, weights=None, viscosity=None, preconditioner: str = None, method: str = "auto", callback=None, x0=None):
     """Host-side explicit solve — the analog of the reference's EIGEN
     SolverType (solveEigenCG, Solver.cpp:814-862): assemble the chosen
     scheme's sparse system and run scipy CG with the warm-start guess.
 
     `preconditioner` (None | 'gs_smoother' | 'eq14') applies the ports of
     the reference's disabled explicit preconditioners (precond_host.py);
-    both target the [u | w | p] pressure_velocity layout."""
+    both target the [u | w | p] pressure_velocity layout.
+
+    `callback(xk)` is forwarded to the scipy iterative driver (iteration
+    counting — the reference prints its iteration count, Solver.cpp:608-619).
+    `x0` overrides the initial guess with an explicit packed vector for the
+    chosen scheme (readInWarmStart parity, Solver.cpp:621-642; see
+    load_solution_guess)."""
     import scipy.sparse.linalg as spla
 
     ops = ExplicitOperators(grid, cls, asm, params, weights=weights, viscosity=viscosity)
     tol = params.tolerance if tol is None else tol
     maxiter = params.max_iterations if maxiter is None else maxiter
+    explicit_x0 = x0
     vg, wg, pg, tg = ops.guess_vectors() if warm_start else (None,) * 4
 
     M = None
@@ -578,21 +585,31 @@ def solve_explicit(grid: Grid, cls: Classification, asm, params: SolverParams, s
         # system; the KKT / velocity-pressure layouts are symmetric
         # indefinite -> MINRES.  (The reference runs Eigen CG on all of
         # them, Solver.cpp:814-862 — which relies on luck for indefinite
-        # layouts.)
-        method = "cg" if scheme == "pressure_stress" else "minres"
+        # layouts.)  A requested preconditioner forces the one driver that
+        # admits an indefinite M (gmres) instead of silently dropping it.
+        if M is not None:
+            method = "gmres"
+        else:
+            method = "cg" if scheme == "pressure_stress" else "minres"
+    elif M is not None and method not in ("gmres", "cg"):
+        raise ValueError(f"method {method!r} cannot apply a preconditioner; use 'gmres' (or 'auto')")
+    if explicit_x0 is not None:
+        x0 = np.asarray(explicit_x0, dtype=np.float64)
+        if x0.shape != b.shape:
+            raise ValueError(f"x0 shape {x0.shape} != system size {b.shape}")
     if method == "direct":
         x = spla.spsolve(A.tocsc(), b)
         info = 0
     elif method == "minres":
-        x, info = spla.minres(A, b, x0=x0, rtol=tol, maxiter=maxiter)
+        x, info = spla.minres(A, b, x0=x0, rtol=tol, maxiter=maxiter, callback=callback)
     elif method == "gmres":
         # the only scipy driver that admits an indefinite preconditioner
         # (the GS-smoother / Eq-14 ports are saddle-structured)
-        x, info = spla.gmres(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M)
+        x, info = spla.gmres(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M, callback=callback, callback_type="pr_norm")
     else:
-        x, info = spla.cg(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M)
+        x, info = spla.cg(A, b, x0=x0, rtol=tol, maxiter=maxiter, M=M, callback=callback)
         if info != 0:
-            x, info = spla.minres(A, b, x0=x, rtol=tol, maxiter=maxiter)
+            x, info = spla.minres(A, b, x0=x, rtol=tol, maxiter=maxiter, callback=callback)
     return x, ops, info
 
 
@@ -677,3 +694,46 @@ def load_solution(prefix: str):
     """readInWarmStart analog (Solver.cpp:621-642)."""
     d = np.load(prefix + "solution.npz")
     return d["pressure"], d["stress"]
+
+
+def load_solution_guess(prefix: str, ops: ExplicitOperators):
+    """Load an exported solution as the packed pressure-stress initial
+    guess (readInWarmStart -> solveWithGuess parity, Solver.cpp:621-642 +
+    814-862).  Pass the result as solve_explicit(..., x0=...)."""
+    p, s = load_solution(prefix)
+    if p.shape[0] != ops.nP or s.shape[0] != ops.nS:
+        raise ValueError(
+            f"solution sizes ({p.shape[0]}, {s.shape[0]}) do not match the "
+            f"current system ({ops.nP}, {ops.nS})"
+        )
+    return np.concatenate([p, s])
+
+
+def solution_guess_ptau(prefix: str, ops: ExplicitOperators, dtype):
+    """Load an exported solution back onto the grid as a PTau initial
+    guess for the device step (step(..., initial_guess=...))."""
+    import jax.numpy as jnp
+
+    from .operators import PTau
+
+    p, s = load_solution(prefix)
+    cell_m = np.asarray(ops.cell_idx >= 0)
+    pf = np.zeros(cell_m.shape, np.float64)
+    pf[cell_m] = p
+    nC = int(cell_m.sum())
+    tc = []
+    off = 0
+    for a in range(3):
+        arr = np.zeros(cell_m.shape, np.float64)
+        arr[cell_m] = s[off : off + nC]
+        tc.append(jnp.asarray(arr, dtype))
+        off += nC
+    te = []
+    for e in range(3):
+        m = np.asarray(ops.edge_idx[e] >= 0)
+        ne = int(m.sum())
+        arr = np.zeros(m.shape, np.float64)
+        arr[m] = s[off : off + ne]
+        te.append(jnp.asarray(arr, dtype))
+        off += ne
+    return PTau(p=jnp.asarray(pf, dtype), tc=tuple(tc), te=tuple(te))

@@ -56,6 +56,9 @@ def solve_host(grid: Grid, scene: Scene, params: SolverParams, method: str = "au
     scheme = _SCHEME_NAMES[params.matrix_scheme]
     iters = [0]
 
+    def _count(_xk):
+        iters[0] += 1
+
     x, ops, info = solve_explicit(
         grid, cls, asm, params,
         scheme=scheme,
@@ -63,6 +66,7 @@ def solve_host(grid: Grid, scene: Scene, params: SolverParams, method: str = "au
         weights=(liquid_w, fluid_w),
         viscosity=scene.viscosity,
         method=method,
+        callback=_count,
     )
 
     dt = float(asm.dt)
@@ -84,7 +88,6 @@ def solve_host(grid: Grid, scene: Scene, params: SolverParams, method: str = "au
     w = jnp.asarray(x_w.reshape(R, params.reduced_dof) if ops.nW else np.zeros((R, params.reduced_dof)), params.dtype)
     new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, vel_faces, w, params)
 
-    b_res = None  # scipy reports only info; recompute the residual norm
     stats = {
         "iterations": iters[0],
         "converged": info == 0,

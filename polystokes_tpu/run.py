@@ -44,6 +44,8 @@ def build_argparser():
                    choices=["pressure_stress", "all_dofs", "pressure_velocity",
                             "all_dofs_explicit_interior_stress"],
                    help="matrix scheme for --solver eigen")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas apply (pre-flight checked; falls back to XLA if the scene touches the domain box)")
     p.add_argument("--params", help="JSON file overriding SolverParams")
     p.add_argument("--export-prefix", help="export grids/components/stats with this prefix")
     p.add_argument("--export-mtx", action="store_true", help="MatrixMarket instead of npz")
@@ -104,6 +106,7 @@ def main(argv=None):
             preconditioner=PreconditionerType.DIAGONAL if args.diag_precond else PreconditionerType(args.precond),
             solver_type=SolverType.EIGEN if args.solver == "eigen" else SolverType.PCG_MATRIX_VECTOR_PRODUCTS,
             matrix_scheme=MatrixScheme(args.scheme),
+            use_pallas=args.pallas,
         )
         if args.params:
             with open(args.params) as f:
@@ -121,6 +124,11 @@ def main(argv=None):
     import dataclasses
 
     import jax
+
+    from .solver import check_pallas, sample_density
+
+    params = sample_density(scene, params)  # HDK_PolyStokes.C:290-304 parity
+    params = check_pallas(grid, scene, params)
 
     if args.profile:
         from .profiling import print_stats, step_instrumented

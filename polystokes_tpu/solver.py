@@ -67,7 +67,13 @@ class Scene:
     override the face liquid/fluid weights with externally supplied values
     (the reference's useInputSurfaceWeights/useInputCollisionWeights
     passthrough, Solver.cpp:183-237: supplied face weights are floored at
-    MINWEIGHT where positive)."""
+    MINWEIGHT where positive).
+
+    Optional `density` is a center-sampled density field; the reference
+    takes such a field, REJECTS variable density, and samples the constant
+    from it (HDK_PolyStokes.C:290-304).  Call `sample_density(scene,
+    params)` on the host before jitting to validate it and fold the
+    sampled constant into params (see run.py)."""
 
     surface_sdf: jnp.ndarray  # (nx,ny,nz) liquid SDF at centers, <0 inside
     collision_sdf: jnp.ndarray  # (nx,ny,nz) solid SDF at centers, <0 inside
@@ -77,6 +83,29 @@ class Scene:
     dt: jnp.ndarray  # timestep (scalar)
     surface_weights: object = None  # optional (fx, fy, fz) face liquid weights
     collision_weights: object = None  # optional (fx, fy, fz) face fluid weights
+    density: object = None  # optional (nx,ny,nz) center density field
+
+
+def sample_density(scene: Scene, params: SolverParams) -> SolverParams:
+    """Density-field input validation (HDK_PolyStokes.C:290-304): the
+    reference errors out on a variable density field ("only constant
+    density is supported") and otherwise samples the constant from the
+    field, clamped into [min_density, max_density].  Host-side helper —
+    returns params with constant_density set from the field; a no-op when
+    the scene carries no density field."""
+    if scene.density is None:
+        return params
+    import numpy as np
+
+    d = np.asarray(scene.density, dtype=np.float64)
+    lo, hi = float(d.min()), float(d.max())
+    scale = max(abs(lo), abs(hi), 1e-30)
+    if (hi - lo) / scale > 1e-6:
+        raise ValueError(
+            f"variable density fields are not supported (field range [{lo}, {hi}]); "
+            "the reference solver imposes the same restriction (HDK_PolyStokes.C:290-304)"
+        )
+    return params.replace(constant_density=lo)
 
 
 def _apply_input_weights(lw, fw, scene, dtype):
@@ -247,6 +276,55 @@ def _use_packed(grid: Grid, params: SolverParams) -> bool:
         and params.preconditioner != PreconditionerType.MULTIGRID
         and pallas_compatible(grid.res, params)
     )
+
+
+def boundary_activity(grid: Grid, scene: Scene, params: SolverParams) -> int:
+    """Count of active faces/edges on the dropped index-0 domain planes —
+    the packed Pallas layout is exact iff this is 0 (pallas_apply.py
+    docstring).  Host-side pre-flight for `check_pallas` below."""
+
+    @partial(jax.jit, static_argnames=("grid", "params"))
+    def _count(grid, scene, params):
+        liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+        liquid_w, fluid_w = _apply_input_weights(liquid_w, fluid_w, scene, params.dtype)
+        cls = classify(grid, liquid_w, fluid_w, params)
+        total = jnp.int32(0)
+        for a in range(3):
+            sl = [slice(None)] * 3
+            sl[a] = slice(0, 1)
+            total += jnp.sum(is_active(cls.face_labels[a][tuple(sl)]))
+        from .grid import EDGE_OFFSET_AXES
+
+        for e in range(3):
+            for ax in EDGE_OFFSET_AXES[e]:
+                sl = [slice(None)] * 3
+                sl[ax] = slice(0, 1)
+                total += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
+        return total
+
+    return int(_count(grid, scene, params))
+
+
+def check_pallas(grid: Grid, scene: Scene, params: SolverParams) -> SolverParams:
+    """Gate the packed Pallas path on its layout invariant: when the scene
+    has active DOFs on the dropped index-0 boundary planes, fall back to
+    the exact XLA apply (with a warning) instead of silently computing
+    wrong physics.  Call once per scene topology before jitting step();
+    the CLI / bench / suite drivers all do."""
+    if not _use_packed(grid, params):
+        return params
+    n = boundary_activity(grid, scene, params)
+    if n:
+        import warnings
+
+        warnings.warn(
+            f"scene has {n} active DOFs on the domain-boundary index-0 planes; "
+            "the packed Pallas layout drops those, so use_pallas is disabled "
+            "for this solve (falling back to the XLA apply)",
+            stacklevel=2,
+        )
+        return params.replace(use_pallas=False)
+    return params
 
 
 def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
@@ -458,8 +536,13 @@ def _dof_counts(cls: Classification):
 
 
 @partial(jax.jit, static_argnames=("grid", "params"))
-def step(grid: Grid, scene: Scene, params: SolverParams):
-    """One Stokes solve.  Returns (new_velocity, valid_masks, stats)."""
+def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
+    """One Stokes solve.  Returns (new_velocity, valid_masks, stats).
+
+    `initial_guess` (optional PTau) seeds the Krylov solve — the device
+    analog of readInWarmStart + solveWithGuess (Solver.cpp:621-642,
+    814-862); see export.solution_guess_ptau for loading an exported
+    solution into one."""
     R = effective_max_regions(grid, params)
 
     liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
@@ -478,7 +561,9 @@ def step(grid: Grid, scene: Scene, params: SolverParams):
         tc=tuple(jnp.zeros(grid.center_shape, params.dtype) for _ in range(3)),
         te=tuple(jnp.zeros_like(asm.uinv_e[e]) for e in range(3)),
     )
-    if params.device_warm_start and params.use_warm_start:
+    if initial_guess is not None:
+        x0 = initial_guess
+    elif params.device_warm_start and params.use_warm_start:
         # constructGuessVectors (Solver.cpp:521-531) on device:
         # p = -(G^T v + JG^T w), tau = 2 uInv (Dt^T v + JDt^T w), with v
         # the old active velocities and w the region best fit.  The

@@ -44,6 +44,19 @@ class KrylovResult(NamedTuple):
     converged: jnp.ndarray
 
 
+class PCGCarry(NamedTuple):
+    """On-device PCG state, carried across jitted segments (the chunked
+    solve loop: solver.solve_chunked).  Checkpointable as a flat pytree."""
+
+    x: object
+    r: object
+    p: object
+    rsold: jnp.ndarray
+    k: jnp.ndarray
+    rre: jnp.ndarray
+    done: jnp.ndarray
+
+
 def _rre(rsnew, xmag):
     # reference: rre = rsnew; if (rsnew/xmag < rre) rre = rsnew/xmag
     # (xmag == x.x; guard against xmag == 0)
@@ -51,15 +64,10 @@ def _rre(rsnew, xmag):
     return jnp.minimum(rsnew, ratio)
 
 
-def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000):
-    """Preconditioned CG, semantics of pcg_external_matrix_A (pcg.h:269-340).
-
-    Returns iteration index at convergence (0-based, like the reference's
-    `return i`), or max_iters when not converged.
-    """
+def pcg_init(apply_A: Callable, b, x0, precond: Callable = None) -> PCGCarry:
+    """Initial PCG state (the pre-loop section of pcg_external_matrix_A)."""
     if precond is None:
         precond = lambda r: r
-
     r = jax.tree.map(jnp.subtract, b, apply_A(x0))
     z = precond(r)
     p = z
@@ -67,13 +75,31 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
     # a zero right-hand side (e.g. fluid at rest) is already converged;
     # entering the loop would produce 0/0
     trivially_done = tree_dot(r, r) == 0
+    rre0 = jnp.where(
+        trivially_done,
+        jnp.asarray(0.0, jnp.result_type(rsold)),
+        jnp.asarray(jnp.inf, jnp.result_type(rsold)),
+    )
+    return PCGCarry(x=x0, r=r, p=p, rsold=rsold, k=jnp.int32(0), rre=rre0, done=trivially_done)
 
-    def cond(st):
-        x, r, p, rsold, k, rre, done = st
-        return (~done) & (k < max_iters)
 
-    def body(st):
-        x, r, p, rsold, k, _, _ = st
+def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, segment_iters: int = None) -> PCGCarry:
+    """Run at most `segment_iters` PCG iterations (all of them if None),
+    stopping early on convergence or at `max_iters` total.  Chaining
+    segments is bit-identical to one monolithic loop (the loop body is
+    unchanged; only the stopping bound differs)."""
+    if precond is None:
+        precond = lambda r: r
+    if segment_iters is None:
+        k_end = jnp.int32(max_iters)
+    else:
+        k_end = jnp.minimum(carry.k + jnp.int32(segment_iters), jnp.int32(max_iters))
+
+    def cond(st: PCGCarry):
+        return (~st.done) & (st.k < k_end)
+
+    def body(st: PCGCarry):
+        x, r, p, rsold = st.x, st.r, st.p, st.rsold
         Ap = apply_A(p)
         pAp = tree_dot(p, Ap)
         alpha = rsold / jnp.where(pAp != 0, pAp, 1.0)
@@ -87,14 +113,25 @@ def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, m
         rs = tree_dot(r, z)
         beta = rs / rsold
         p = tree_axpy(beta, p, z)
-        return x, r, p, rs, k + 1, rre, done
+        return PCGCarry(x=x, r=r, p=p, rsold=rs, k=st.k + 1, rre=rre, done=done)
 
-    k0 = jnp.int32(0)
-    rre0 = jnp.where(trivially_done, jnp.asarray(0.0, jnp.result_type(rsold)), jnp.asarray(jnp.inf, jnp.result_type(rsold)))
-    st = jax.lax.while_loop(cond, body, (x0, r, p, rsold, k0, rre0, trivially_done))
-    x, r, p, rsold, k, rre, done = st
-    iters = jnp.where(done, jnp.maximum(k - 1, 0), k)
-    return KrylovResult(x=x, iterations=iters, error=jnp.sqrt(rre), converged=done)
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def pcg_result(carry: PCGCarry) -> KrylovResult:
+    iters = jnp.where(carry.done, jnp.maximum(carry.k - 1, 0), carry.k)
+    return KrylovResult(x=carry.x, iterations=iters, error=jnp.sqrt(carry.rre), converged=carry.done)
+
+
+def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000):
+    """Preconditioned CG, semantics of pcg_external_matrix_A (pcg.h:269-340).
+
+    Returns iteration index at convergence (0-based, like the reference's
+    `return i`), or max_iters when not converged.
+    """
+    carry = pcg_init(apply_A, b, x0, precond)
+    carry = pcg_segment(apply_A, carry, precond, tol=tol, max_iters=max_iters)
+    return pcg_result(carry)
 
 
 def flex_pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000):

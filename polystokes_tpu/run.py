@@ -52,6 +52,15 @@ def build_argparser():
     p.add_argument("--checkpoint", help="write a checkpoint npz after the run")
     p.add_argument("--resume", help="resume from a checkpoint npz")
     p.add_argument("--profile", action="store_true", help="per-stage instrumented run")
+    p.add_argument("--chunked", action="store_true",
+                   help="chunked solve loop: K-iteration device segments with host "
+                   "checks between (cancellable with Ctrl-C, reference opInterrupt parity)")
+    p.add_argument("--segment-iters", type=int, default=500, help="iterations per chunk")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="wall-clock budget for the chunked solve (partial result after)")
+    p.add_argument("--solver-state", help="persist the Krylov state here after each segment")
+    p.add_argument("--resume-solver", action="store_true",
+                   help="resume the chunked solve from --solver-state")
     return p
 
 
@@ -137,6 +146,33 @@ def main(argv=None):
             vel, valid, stats = step_instrumented(grid, scene, params)
             print(f"step {k}:")
             print_stats(stats)
+            scene = dataclasses.replace(scene, velocity=vel)
+    elif args.chunked:
+        from .solver import solve_chunked
+
+        for k in range(start, start + args.steps):
+            t0 = time.perf_counter()
+
+            def progress(s):
+                print(f"  segment done: iters={s['iterations']}  rre={s['rre']:.3e}", flush=True)
+                return False
+
+            vel, valid, stats = solve_chunked(
+                grid, scene, params,
+                segment_iters=args.segment_iters,
+                max_seconds=args.max_seconds,
+                callback=progress,
+                state_path=args.solver_state,
+                resume=args.resume_solver,
+            )
+            import jax as _jax
+
+            _jax.block_until_ready(vel)
+            print(
+                f"step {k}: {time.perf_counter()-t0:.3f}s  iters={int(stats['iterations'])}"
+                f"  err={float(stats['error']):.3e}  converged={bool(stats['converged'])}"
+                f"  interrupted={stats['interrupted']}  regions={int(stats['n_regions'])}"
+            )
             scene = dataclasses.replace(scene, velocity=vel)
     elif params.solver_type == SolverType.EIGEN:
         from .host_solve import solve_host

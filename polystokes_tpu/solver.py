@@ -535,25 +535,23 @@ def _dof_counts(cls: Classification):
     return n_center, n_faces, n_edges
 
 
-@partial(jax.jit, static_argnames=("grid", "params"))
-def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
-    """One Stokes solve.  Returns (new_velocity, valid_masks, stats).
-
-    `initial_guess` (optional PTau) seeds the Krylov solve — the device
-    analog of readInWarmStart + solveWithGuess (Solver.cpp:621-642,
-    814-862); see export.solution_guess_ptau for loading an exported
-    solution into one."""
+def _setup(grid: Grid, scene: Scene, params: SolverParams):
+    """Weights -> classify -> assemble (the scene-dependent, solve-
+    independent part of the pipeline)."""
     R = effective_max_regions(grid, params)
-
     liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
     liquid_w, fluid_w = _apply_input_weights(liquid_w, fluid_w, scene, params.dtype)
     cls = classify(grid, liquid_w, fluid_w, params)
-    asm, rd = assemble(grid, scene, cls, liquid_w, fluid_w, params, R)
+    asm, _rd = assemble(grid, scene, cls, liquid_w, fluid_w, params, R)
+    return cls, asm
 
+
+def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None):
+    """(apply_K, precond, b_K, x0_K, packed): the Krylov-space operator,
+    preconditioner, RHS and initial guess — packed [7,...] channel layout
+    when the fused Pallas path is enabled, PTau otherwise."""
+    R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
-    # the PTau-space apply is only needed for the non-packed Krylov loop
-    # (building both would double the coefficient-stack constants)
-    apply_A = None if packed else make_apply(grid, cls, asm, params, R)
     b = build_rhs(grid, cls, asm, params, R)
 
     x0 = PTau(
@@ -564,12 +562,6 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     if initial_guess is not None:
         x0 = initial_guess
     elif params.device_warm_start and params.use_warm_start:
-        # constructGuessVectors (Solver.cpp:521-531) on device:
-        # p = -(G^T v + JG^T w), tau = 2 uInv (Dt^T v + JDt^T w), with v
-        # the old active velocities and w the region best fit.  The
-        # reference's device-default PCG zeroes the guess (Solver.cpp:770);
-        # this is the TPU-native opt-in equivalent of the EIGEN
-        # solveWithGuess path.
         fguess = list(asm.old_v)
         if params.do_reduced_regions:
             u_fit = expand_J(grid, cls, asm.com, asm.best_fit, params)
@@ -581,23 +573,166 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
             te=tuple(2.0 * asm.uinv_e[e] * t.te[e] for e in range(3)),
         )
 
-    # packed fast path: the whole Krylov loop runs on channel-stacked
-    # [7, nx, ny, nz] vectors through the fused Pallas kernels, with one
-    # pack before and one unpack after (pallas_apply.py)
     if packed:
-        from .pallas_apply import pack_ptau, unpack_ptau
+        from .pallas_apply import pack_ptau
 
         apply_K = make_apply_packed(grid, cls, asm, params, R)
         precond = make_preconditioner_packed(grid, cls, asm, params)
-        b_K = pack_ptau(b)
-        x0_K = pack_ptau(x0)
+        return apply_K, precond, pack_ptau(b), pack_ptau(x0), True
+    from .precond import make_preconditioner
+
+    apply_K = make_apply(grid, cls, asm, params, R)
+    precond = make_preconditioner(grid, cls, asm, params)
+    return apply_K, precond, b, x0, False
+
+
+@partial(jax.jit, static_argnames=("grid", "params"))
+def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None):
+    apply_K, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess)
+    return krylov.pcg_init(apply_K, b_K, x0_K, precond)
+
+
+@partial(jax.jit, static_argnames=("grid", "params", "segment_iters"), donate_argnames=("carry",))
+def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_iters: int):
+    R = effective_max_regions(grid, params)
+    packed = _use_packed(grid, params)
+    if packed:
+        apply_K = make_apply_packed(grid, cls, asm, params, R)
+        precond = make_preconditioner_packed(grid, cls, asm, params)
     else:
         from .precond import make_preconditioner
 
-        apply_K = apply_A
+        apply_K = make_apply(grid, cls, asm, params, R)
         precond = make_preconditioner(grid, cls, asm, params)
-        b_K = b
-        x0_K = x0
+    return krylov.pcg_segment(
+        apply_K, carry, precond, tol=params.tolerance,
+        max_iters=params.max_iterations, segment_iters=segment_iters,
+    )
+
+
+@partial(jax.jit, static_argnames=("grid", "params"))
+def _chunk_finalize(grid: Grid, scene: Scene, params: SolverParams, cls, asm, carry):
+    R = effective_max_regions(grid, params)
+    res = krylov.pcg_result(carry)
+    if _use_packed(grid, params):
+        from .pallas_apply import unpack_ptau
+
+        x = unpack_ptau(res.x)
+    else:
+        x = res.x
+    v, w = recover_velocity(grid, cls, asm, x, params, R)
+    new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, v, w, params)
+    if not params.keep_non_converged:
+        new_vel = tuple(
+            jnp.where(res.converged, nv, scene.velocity[a].astype(params.dtype))
+            for a, nv in enumerate(new_vel)
+        )
+    n_center, n_faces, n_edges = _dof_counts(cls)
+    stats = {
+        "iterations": res.iterations,
+        "error": res.error,
+        "converged": res.converged,
+        "n_pressures": n_center,
+        "n_active_velocities": n_faces,
+        "n_stresses": 3 * n_center + n_edges,
+        "n_regions": cls.n_regions,
+        "n_reduced_dofs": cls.n_regions * params.reduced_dof,
+        "region_overflow": cls.region_overflow,
+    }
+    return new_vel, valid, stats
+
+
+def solve_chunked(
+    grid: Grid,
+    scene: Scene,
+    params: SolverParams,
+    segment_iters: int = 500,
+    max_seconds: float = None,
+    callback=None,
+    state_path: str = None,
+    resume: bool = False,
+    initial_guess=None,
+):
+    """One Stokes solve as a host loop over K-iteration jitted CG
+    segments, with the Krylov state held on device between calls.
+
+    The chunked structure restores the reference's interrupt semantics
+    (opInterrupt polling in every long loop, Classifier.cpp:73-74) for the
+    jitted solve — Ctrl-C between segments cancels cleanly and returns the
+    partial result under keep_non_converged — and bounds every single
+    device execution (a converged 256^3 run exceeds the remote-tunnel
+    execution limit as one call, but runs fine as < 4-minute segments).
+
+      * max_seconds: stop after this much wall-clock (partial result)
+      * callback(stats_dict) -> truthy to request a stop
+      * state_path + resume: persist the PCG carry after each segment and
+        resume a killed run from the saved state (same scene/params)
+
+    Returns (new_velocity, valid_masks, stats) like `step`.
+    """
+    import time as _time
+
+    import numpy as np
+
+    t_start = _time.monotonic()
+    cls, asm = jax.jit(_setup, static_argnames=("grid", "params"))(grid, scene, params)
+
+    import os as _os
+
+    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess)
+    if resume and state_path and _os.path.exists(state_path):
+        d = np.load(state_path)
+        leaves, treedef = jax.tree.flatten(carry)
+        arrs = [jnp.asarray(d[f"leaf{i}"], leaves[i].dtype) for i in range(len(leaves))]
+        carry = jax.tree.unflatten(treedef, arrs)
+
+    interrupted = False
+    try:
+        while True:
+            carry = _chunk_segment(grid, params, cls, asm, carry, segment_iters)
+            k = int(carry.k)
+            done = bool(carry.done)
+            rre = float(carry.rre)
+            if state_path:
+                leaves = jax.tree.leaves(carry)
+                np.savez(state_path, **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
+            if callback is not None:
+                if callback({"iterations": k, "rre": rre, "done": done}):
+                    interrupted = True
+            if done or k >= params.max_iterations or interrupted:
+                break
+            if max_seconds is not None and _time.monotonic() - t_start > max_seconds:
+                interrupted = True
+                break
+    except KeyboardInterrupt:
+        # the reference's opInterrupt: abort mid-solve, keep partial state
+        interrupted = True
+
+    new_vel, valid, stats = _chunk_finalize(grid, scene, params, cls, asm, carry)
+    stats = dict(stats)
+    stats["interrupted"] = interrupted
+    return new_vel, valid, stats
+
+
+@partial(jax.jit, static_argnames=("grid", "params"))
+def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
+    """One Stokes solve.  Returns (new_velocity, valid_masks, stats).
+
+    `initial_guess` (optional PTau) seeds the Krylov solve — the device
+    analog of readInWarmStart + solveWithGuess (Solver.cpp:621-642,
+    814-862); see export.solution_guess_ptau for loading an exported
+    solution into one."""
+    R = effective_max_regions(grid, params)
+    cls, asm = _setup(grid, scene, params)
+
+    # packed fast path: the whole Krylov loop runs on channel-stacked
+    # [7, nx, ny, nz] vectors through the fused Pallas kernels, with one
+    # pack before and one unpack after (pallas_apply.py); the device
+    # warm-start guess (constructGuessVectors, Solver.cpp:521-531) is
+    # built inside _build_krylov_system
+    apply_K, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess)
+    if packed:
+        from .pallas_apply import unpack_ptau
 
     if params.do_solve:
         if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
@@ -616,8 +751,8 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
             res = krylov.minres(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)
         x = unpack_ptau(res.x) if packed else res.x
     else:
-        res = krylov.KrylovResult(x=x0, iterations=jnp.int32(0), error=jnp.asarray(0.0, params.dtype), converged=jnp.bool_(True))
-        x = x0
+        x = unpack_ptau(x0_K) if packed else x0_K
+        res = krylov.KrylovResult(x=x, iterations=jnp.int32(0), error=jnp.asarray(0.0, params.dtype), converged=jnp.bool_(True))
 
     v, w = recover_velocity(grid, cls, asm, x, params, R)
     new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, v, w, params)

@@ -199,3 +199,61 @@ def test_connected_components_bounded_on_long_domain():
     # bounded run terminated (didn't hang) and produced valid per-cell labels
     assert (cb >= 0).all()
     assert len(np.unique(cb)) > 1  # the bound split the long component
+
+
+def test_chunked_solve_matches_step_and_resumes(tmp_path):
+    """solve_chunked in 13-iteration segments is bit-identical to the
+    monolithic step; a killed run resumes from the persisted Krylov state
+    and finishes with the same answer."""
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.config import PreconditionerType
+    from polystokes_tpu.solver import solve_chunked
+
+    params = SolverParams(
+        dtype=jnp.float64, max_iterations=60, do_reduced_regions=True,
+        do_tile=True, tile_size=8, tile_padding=2, bicgstab_fallback=False,
+        preconditioner=PreconditionerType.CELL_ARROW,
+    )
+    grid, scene = honey_coil(n=16, dtype=jnp.float64)
+    vel, valid, stats = step(grid, scene, params)
+    vel2, valid2, st2 = solve_chunked(grid, scene, params, segment_iters=13)
+    assert int(st2["iterations"]) == int(stats["iterations"])
+    for a in range(3):
+        np.testing.assert_array_equal(np.asarray(vel[a]), np.asarray(vel2[a]))
+
+    # simulate a kill after 2 segments, then resume from the saved state
+    sp = str(tmp_path / "pcg_state.npz")
+    segs = [0]
+
+    def stop_after_two(s):
+        segs[0] += 1
+        return segs[0] >= 2
+
+    vel3, _, st3 = solve_chunked(
+        grid, scene, params, segment_iters=13, callback=stop_after_two, state_path=sp
+    )
+    assert st3["interrupted"] and int(st3["iterations"]) == 26
+    vel4, _, st4 = solve_chunked(
+        grid, scene, params, segment_iters=13, state_path=sp, resume=True
+    )
+    assert not st4["interrupted"]
+    assert int(st4["iterations"]) == int(stats["iterations"])
+    for a in range(3):
+        np.testing.assert_array_equal(np.asarray(vel[a]), np.asarray(vel4[a]))
+
+
+def test_chunked_max_seconds_partial():
+    """A zero time budget returns after one segment with a partial,
+    non-converged result (keep_non_converged semantics preserved)."""
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.solver import solve_chunked
+
+    params = SolverParams(
+        dtype=jnp.float64, max_iterations=200, do_reduced_regions=True,
+        do_tile=True, tile_size=8, tile_padding=2, bicgstab_fallback=False,
+    )
+    grid, scene = honey_coil(n=16, dtype=jnp.float64)
+    vel, valid, st = solve_chunked(grid, scene, params, segment_iters=5, max_seconds=0.0)
+    assert st["interrupted"]
+    assert int(st["iterations"]) == 5
+    assert not bool(st["converged"])

@@ -1,0 +1,136 @@
+"""Per-iteration cost breakdown of the packed CG loop on device.
+
+Times, at a given resolution (tiled-reduced honey_coil, packed Pallas
+path): the fused apply alone, the arrow preconditioner + CG BLAS1 work
+alone, and a full PCG iteration — so the fusion work targets the real
+bottleneck.
+
+    python benchmarks/bench_iter.py [N]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_cache = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from polystokes_tpu import SolverParams
+from polystokes_tpu.classify import classify, effective_max_regions
+from polystokes_tpu.config import PreconditionerType
+from polystokes_tpu.scenes.builders import honey_coil
+from polystokes_tpu.solver import (
+    assemble,
+    make_apply_packed,
+    make_apply_packed_pap,
+    make_preconditioner_packed,
+    precond_factors_packed,
+)
+from polystokes_tpu.weights import compute_weights
+from polystokes_tpu import krylov
+
+
+def main(n=128, iters=100):
+    params = SolverParams(
+        do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2,
+        preconditioner=PreconditionerType.CELL_ARROW, use_pallas=True,
+    )
+    grid, scene = honey_coil(n=n, dtype=jnp.float32)
+    R = effective_max_regions(grid, params)
+    lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+    cls = classify(grid, lw, fw, params)
+    asm, _ = assemble(grid, scene, cls, lw, fw, params, R)
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), jnp.float32)
+
+    def timeit(name, fn, *args):
+        # cls/asm passed as jit args so the coefficient arrays are inputs,
+        # not giant HLO constants (the remote compile service rejects those)
+        from polystokes_tpu.precision import precise_matmul
+
+        f = jax.jit(precise_matmul(fn))
+        out = f(cls, asm, *args)
+        jax.block_until_ready(out)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(cls, asm, *args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:28s} {best/iters*1e3:7.3f} ms/iter   ({best:.3f}s / {iters})", flush=True)
+        return best / iters
+
+    def chain_apply(cls, asm, x):
+        fn = make_apply_packed(grid, cls, asm, params, R)
+
+        def body(i, acc):
+            return fn(acc)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    timeit("apply (fused pallas)", chain_apply, xp)
+
+    def chain_apply_dot(cls, asm, x):
+        fn = make_apply_packed_pap(grid, cls, asm, params, R)
+
+        def body(i, acc):
+            out, pap = fn(acc)
+            return out + 1e-30 * pap
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    timeit("apply+dot (fused pap)", chain_apply_dot, xp)
+
+    # factor setup timed separately from per-application cost: the factors
+    # include the reduced-diagonal probe (whole seconds of device work),
+    # hoisted to setup-once in solve_chunked
+    t0 = time.perf_counter()
+    pfac = jax.jit(lambda c, a: precond_factors_packed(grid, c, a, params))(cls, asm)
+    jax.block_until_ready(pfac)
+    print(f"{'arrow factor setup (once)':28s} {time.perf_counter()-t0:7.3f} s  (incl. compile)", flush=True)
+
+    def chain_precond(cls, asm, pf, x):
+        fn = make_preconditioner_packed(grid, cls, asm, params, factors=pf)
+
+        def body(i, acc):
+            return fn(acc)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    timeit("arrow precond", chain_precond, pfac, xp)
+
+    def blas1(cls, asm, x):
+        def body(i, st):
+            xx, r, p = st
+            d1 = krylov.tree_dot(p, r)
+            a = d1 / (1.0 + d1 * 1e-30)
+            xx = krylov.tree_axpy(a, p, xx)
+            r = krylov.tree_axpy(-a, p, r)
+            d2 = krylov.tree_dot(r, r)
+            d3 = krylov.tree_dot(xx, xx)
+            beta = d2 / jnp.where(d3 != 0, d3, 1.0)
+            p = krylov.tree_axpy(beta, p, r)
+            return xx, r, p
+
+        return jax.lax.fori_loop(0, iters, body, (x, x + 1.0, x + 2.0))
+
+    timeit("CG BLAS1 (3 dots + 3 axpy)", blas1, xp)
+
+    def full(cls, asm, pf, x):
+        apply_K = make_apply_packed(grid, cls, asm, params, R)
+        apply_dot = make_apply_packed_pap(grid, cls, asm, params, R)
+        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pf)
+        res = krylov.pcg(apply_K, x, jnp.zeros_like(x), precond=precond, tol=0.0, max_iters=iters, apply_dot=apply_dot)
+        return res.x
+
+    timeit("full PCG iteration", full, pfac, xp)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""One-off: tiled honey_coil 128^3 (headline config) on TPU, deflation
+on/off, fused-pap apply path — iterations + wall-clock.
+
+    python benchmarks/defl_128.py [--deflation] [--n 128] [--segment 500]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deflation", action="store_true")
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--segment", type=int, default=2000)
+    ap.add_argument("--max-iters", type=int, default=20000)
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.config import PreconditionerType
+    from polystokes_tpu.scenes.builders import honey_coil
+    from polystokes_tpu.solver import check_pallas, solve_chunked
+
+    params = SolverParams(
+        do_reduced_regions=True, do_tile=True, tile_size=args.tile, tile_padding=2,
+        preconditioner=PreconditionerType.CELL_ARROW, use_pallas=True,
+        tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
+        deflation=args.deflation,
+    )
+    grid, scene = honey_coil(n=args.n, dtype=jnp.float32)
+    params = check_pallas(grid, scene, params)
+
+    # warm-up/compile pass (chunked so each device call stays bounded)
+    t0 = time.perf_counter()
+    vel, valid, stats = solve_chunked(grid, scene, params, segment_iters=args.segment)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vel, valid, stats = solve_chunked(grid, scene, params, segment_iters=args.segment)
+    step_s = time.perf_counter() - t0
+    it = int(stats["iterations"])
+    print(json.dumps({
+        "config": f"defl128_n{args.n}_defl{int(args.deflation)}",
+        "iterations": it,
+        "error": float(stats["error"]),
+        "converged": bool(stats["converged"]),
+        "step_s": round(step_s, 3),
+        "s_per_iteration": round(step_s / max(it, 1), 6),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,16 @@ def main():
                     help="with --cg: additive 2-level arrow + per-cube coarse "
                     "correction z = Minv r + P Ac^-1 P^T r (const: 7 modes/cube; "
                     "linear: +3 p-gradient modes/cube)")
+    ap.add_argument("--adef2", action="store_true",
+                    help="with --twolevel: A-DEF2 combination z = z1 + Q(r - A z1), "
+                    "z1 = Minv r, Q = P Ac^-1 P^T (Tang/Nabben/Vuik/Erlangga 2009), "
+                    "plus the Q b start vector")
     ap.add_argument("--coarse-tile", type=int, default=0, help="coarse cube size (default: --tile)")
+    ap.add_argument("--drop-coupling", action="store_true",
+                    help="with --cg: remove the J^T BInv J term from A (solve the "
+                    "gated grid operator alone) — isolates whether the reduced "
+                    "iteration gap comes from the coupling or from the holes the "
+                    "gating cuts into the grid part")
     ap.add_argument("--ritz", type=int, default=0,
                     help="with --cg: run this many iterations and print the Lanczos "
                     "Ritz-value histogram of M^-1(-A) (spectrum shape comparison)")
@@ -75,6 +84,16 @@ def main():
     asm, rd = assemble(grid, scene, cls, lw, fw, params, R)
     ops = ExplicitOperators(grid, cls, asm, params)
     A = ops.schur_matrix().tocsr()  # negative definite
+    if args.drop_coupling and not args.uniform:
+        import scipy.sparse as _sp
+
+        JGD = _sp.hstack([ops.JG(), ops.JDt()]).tocsr()
+        A = (A + JGD.T @ ops.BInv() @ JGD).tocsr()
+        # rows that only had coupling go singular: regularize + zero b there
+        dead_nc = np.asarray(np.abs(A).sum(axis=1)).ravel() == 0
+        if dead_nc.any():
+            print(f"drop-coupling: regularizing {int(dead_nc.sum())} empty rows")
+            A = (A - _sp.diags(dead_nc.astype(np.float64))).tocsr()
     nP, nS = ops.nP, ops.nS
     n = nP + nS
     print(f"n = {n} ({nP} p + {nS} tau), regions = {int(cls.n_regions)}", flush=True)
@@ -135,6 +154,8 @@ def main():
             + [np.asarray(b_pt.tc[a])[cell_m] for a in range(3)]
             + [np.asarray(b_pt.te[e])[np.asarray(ops.edge_idx[e] >= 0)] for e in range(3)]
         ).astype(dt_np)
+        if args.drop_coupling and not args.uniform:
+            b[np.asarray((A != 0).sum(axis=1)).ravel() <= 1] = 0.0
         Minv = spla.factorized(M.tocsc())
 
         if args.woodbury:
@@ -228,7 +249,14 @@ def main():
             Pc = P.tocsc()
             Nmat = (-A).tocsr()
 
-            if os.environ.get("TWOLEVEL_MULT") == "1":
+            if args.adef2:
+                # A-DEF2: z = z1 + Q(r - A z1).  The only A product sits
+                # inside P^T(.), so on device it reduces to (A W)^T z1 —
+                # stored patches + a fused moments pass, no extra apply.
+                def M2(r):
+                    z1 = Minv(r)
+                    return z1 + P @ (Acinv @ (Pc.T @ (r - Nmat @ z1)))
+            elif os.environ.get("TWOLEVEL_MULT") == "1":
                 # symmetric multiplicative: smooth, coarse-correct, smooth
                 def M2(r):
                     z1 = Minv(r)
@@ -260,6 +288,10 @@ def main():
             skin_flag = None
 
         x = np.zeros_like(b)
+        if args.twolevel and args.adef2:
+            # start vector with W^T r0 = 0: x0 = W (W^T A W)^-1 W^T b
+            # (A = -N, so the sign flips vs Acinv which inverts P^T N P)
+            x = -(P @ (Acinv @ (Pc.T @ b))).astype(dt_np)
         r = b - Af @ x
         if args.ritz < 0:
             rng = np.random.default_rng(0)

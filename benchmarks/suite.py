@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--iters-cap", type=int, default=20000)
     ap.add_argument("--precond", default="cell_arrow")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--deflation", action="store_true")
+    ap.add_argument("--deflation-tile", type=int, default=0)
     args = ap.parse_args()
     want = {int(c) for c in args.configs.split(",")}
 
@@ -97,6 +99,7 @@ def main():
         dtype=jnp.float32, max_iterations=args.iters_cap, bicgstab_fallback=False,
         tolerance=1e-3, preconditioner=PreconditionerType(args.precond),
         use_pallas=not args.no_pallas,
+        deflation=args.deflation, deflation_tile=args.deflation_tile,
     )
     records = []
 

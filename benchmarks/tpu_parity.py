@@ -1,0 +1,118 @@
+"""On-hardware Pallas numerics artifact (VERDICT r2 item 6).
+
+Compares, on the real TPU backend (no interpret mode), the packed Pallas
+apply kernels against the XLA reference apply on random PTau vectors:
+
+  * apply_packed  (moments + expand + combine kernels)   vs XLA make_apply
+  * apply_packed_pap (fused grid+mom+pap, finish+pap)    vs the same
+  * the pAp partial sums                                 vs <x, Ax>
+  * uniform variants (reduced off)
+
+Writes TPU_PARITY.json at the repo root:
+  {"device": ..., "cases": [{..., "max_rel_diff": ..., "pap_rel": ...}]}
+
+Usage: python benchmarks/tpu_parity.py [--n 64] [--scene honey_coil]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_cache = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def run_case(scene_name, n, tile, reduced):
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.classify import classify, effective_max_regions
+    from polystokes_tpu.pallas_apply import pack_ptau, unpack_ptau
+    from polystokes_tpu.scenes import builders
+    from polystokes_tpu.solver import (
+        assemble,
+        check_pallas,
+        make_apply,
+        make_apply_packed,
+        make_apply_packed_pap,
+    )
+    from polystokes_tpu.weights import compute_weights
+
+    params = SolverParams(
+        do_reduced_regions=reduced, do_tile=True, tile_size=tile, tile_padding=2,
+        use_pallas=True, dtype=jnp.float32,
+    )
+    grid, scene = getattr(builders, scene_name)(n=n, dtype=jnp.float32)
+    params = check_pallas(grid, scene, params)
+    if not params.use_pallas:
+        return {"scene": scene_name, "n": n, "reduced": reduced, "skipped": "check_pallas fallback"}
+    R = effective_max_regions(grid, params)
+    lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+    cls = classify(grid, lw, fw, params)
+    asm, _ = assemble(grid, scene, cls, lw, fw, params, R)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), jnp.float32)
+    from polystokes_tpu.deflation import packed_masks
+
+    x = x * packed_masks(grid, cls, params.dtype)
+
+    from polystokes_tpu.precision import precise_matmul
+
+    apply_xla = jax.jit(precise_matmul(lambda c, a, v: pack_ptau(make_apply(grid, c, a, params, R)(unpack_ptau(v)))))
+    apply_pk = jax.jit(precise_matmul(lambda c, a, v: make_apply_packed(grid, c, a, params, R)(v)))
+    apply_pap = jax.jit(precise_matmul(lambda c, a, v: make_apply_packed_pap(grid, c, a, params, R)(v)))
+
+    y_ref = np.asarray(apply_xla(cls, asm, x))
+    y_pk = np.asarray(apply_pk(cls, asm, x))
+    y_fused, pap = apply_pap(cls, asm, x)
+    y_fused = np.asarray(y_fused)
+    scale = max(float(np.max(np.abs(y_ref))), 1e-30)
+    pap_ref = float(np.sum(np.asarray(x) * y_ref))
+    rec = {
+        "scene": scene_name, "n": n, "tile": tile, "reduced": reduced,
+        "apply_scale": scale,
+        "packed_vs_xla_max_rel": float(np.max(np.abs(y_pk - y_ref))) / scale,
+        "fused_pap_vs_xla_max_rel": float(np.max(np.abs(y_fused - y_ref))) / scale,
+        "pap_rel_err": abs(float(pap) - pap_ref) / max(abs(pap_ref), 1e-30),
+    }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TPU_PARITY.json"))
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    cases = []
+    for scene, n, tile, reduced in [
+        ("honey_coil", args.n, 8, True),
+        ("honey_coil", args.n, 8, False),
+        ("jelly_jam", 32, 8, True),
+        ("honey_coil", 128, 16, True),
+    ]:
+        print(f"case {scene} n={n} tile={tile} reduced={reduced} ...", flush=True)
+        rec = run_case(scene, n, tile, reduced)
+        print("  ", rec, flush=True)
+        cases.append(rec)
+
+    ok = all(
+        c.get("skipped")
+        or (c["packed_vs_xla_max_rel"] < 1e-4 and c["fused_pap_vs_xla_max_rel"] < 1e-4 and c["pap_rel_err"] < 1e-3)
+        for c in cases
+    )
+    payload = {"device": str(dev), "backend": jax.default_backend(), "ok": ok, "cases": cases}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"ok": ok, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,14 @@ class SolverParams:
     solver_type: SolverType = SolverType.PCG_MATRIX_VECTOR_PRODUCTS
     preconditioner: PreconditionerType = PreconditionerType.IDENTITY
     bicgstab_fallback: bool = True
+    # A-DEF2 two-level deflation on top of the device preconditioner
+    # (deflation.py; TPU-native addition — the reference has no analog).
+    # deflation_tile 0 means "use the reduction tile size".
+    deflation: bool = False
+    deflation_tile: int = 0
+    # use the fused apply+<p,Ap> kernels inside CG (packed path only);
+    # set False to fall back to separate apply + tree_dot
+    fuse_pap: bool = True
 
     # -- multigrid preconditioner knobs (multigrid.py; TPU-native addition)
     mg_levels: int = 5  # max levels incl. finest

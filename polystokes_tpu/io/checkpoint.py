@@ -34,13 +34,18 @@ def params_to_json(params: SolverParams) -> str:
     return json.dumps(d, indent=2)
 
 
-def params_from_json(s: str) -> SolverParams:
+def params_from_json(s: str, base: SolverParams = None) -> SolverParams:
+    """Decode SolverParams from JSON.  With `base`, the JSON is a partial
+    override: only the keys present replace the base's fields (how the
+    CLI's --params composes with other flags)."""
     d = json.loads(s)
     for k, enum_t in _ENUMS.items():
         if k in d and isinstance(d[k], str):
             d[k] = enum_t[d[k]]
     if "dtype" in d:
         d["dtype"] = jnp.dtype(d["dtype"]).type
+    if base is not None:
+        return dataclasses.replace(base, **d)
     return SolverParams(**d)
 
 

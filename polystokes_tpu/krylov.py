@@ -83,11 +83,15 @@ def pcg_init(apply_A: Callable, b, x0, precond: Callable = None) -> PCGCarry:
     return PCGCarry(x=x0, r=r, p=p, rsold=rsold, k=jnp.int32(0), rre=rre0, done=trivially_done)
 
 
-def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, segment_iters: int = None) -> PCGCarry:
+def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, segment_iters: int = None, apply_dot: Callable = None) -> PCGCarry:
     """Run at most `segment_iters` PCG iterations (all of them if None),
     stopping early on convergence or at `max_iters` total.  Chaining
     segments is bit-identical to one monolithic loop (the loop body is
-    unchanged; only the stopping bound differs)."""
+    unchanged; only the stopping bound differs).
+
+    `apply_dot(p) -> (A p, <p, A p>)`, when given, replaces the separate
+    apply + tree_dot — the fused Pallas apply emits the pAp partials from
+    its own blocks, removing one full-vector read per iteration."""
     if precond is None:
         precond = lambda r: r
     if segment_iters is None:
@@ -100,8 +104,11 @@ def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, to
 
     def body(st: PCGCarry):
         x, r, p, rsold = st.x, st.r, st.p, st.rsold
-        Ap = apply_A(p)
-        pAp = tree_dot(p, Ap)
+        if apply_dot is not None:
+            Ap, pAp = apply_dot(p)
+        else:
+            Ap = apply_A(p)
+            pAp = tree_dot(p, Ap)
         alpha = rsold / jnp.where(pAp != 0, pAp, 1.0)
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, Ap, r)
@@ -123,14 +130,14 @@ def pcg_result(carry: PCGCarry) -> KrylovResult:
     return KrylovResult(x=carry.x, iterations=iters, error=jnp.sqrt(carry.rre), converged=carry.done)
 
 
-def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000):
+def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, apply_dot: Callable = None):
     """Preconditioned CG, semantics of pcg_external_matrix_A (pcg.h:269-340).
 
     Returns iteration index at convergence (0-based, like the reference's
     `return i`), or max_iters when not converged.
     """
     carry = pcg_init(apply_A, b, x0, precond)
-    carry = pcg_segment(apply_A, carry, precond, tol=tol, max_iters=max_iters)
+    carry = pcg_segment(apply_A, carry, precond, tol=tol, max_iters=max_iters, apply_dot=apply_dot)
     return pcg_result(carry)
 
 

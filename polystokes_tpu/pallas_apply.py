@@ -294,7 +294,7 @@ def _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn):
                     rows = [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)]
                     rows = jnp.stack(rows, axis=0)  # (K, nz)
                     mom_ref[lc, mc, a * K : (a + 1) * K, :] = jnp.dot(
-                        rows, Z, preferred_element_type=rows.dtype
+                        rows, Z, preferred_element_type=rows.dtype, precision="highest"
                     )
 
     return kernel
@@ -326,7 +326,7 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
             for lc in range(cpbx):
                 for mc in range(cpby):
                     vrow = v_ref[lc, mc, a * K : (a + 1) * K, :]  # (K, cs2)
-                    vfull = jnp.dot(vrow, Zt, preferred_element_type=dtype)  # (K, nz)
+                    vfull = jnp.dot(vrow, Zt, preferred_element_type=dtype, precision="highest")  # (K, nz)
                     pos = [lx3, ly3, pz_local]
                     pos[a] = pos[a] + 0.5
                     mono = mono_fn(pos[0], pos[1], pos[2])
@@ -490,6 +490,213 @@ def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp_padded.dtype),
         interpret=interpret,
     )(xp_padded, coeffs_padded, _pad_halo(up))
+
+
+def _transpose_contrib(cr, w):
+    """The 7 output contributions of transposing face values w (no mass
+    terms, no x): the u-branch of the split apply."""
+    dsum = []
+    p_acc = None
+    for a in range(3):
+        d = _shift(w[a], a, -1) - w[a]
+        dsum.append(d)
+        p_acc = d if p_acc is None else p_acc + d
+    clw = cr[C_CLW]
+    out = [clw * p_acc]
+    for a in range(3):
+        out.append(-clw * dsum[a])
+    for e in range(3):
+        p_ax, q_ax = EDGE_OFFSET_AXES[e]
+        acc = None
+        for a in (p_ax, q_ax):
+            t = _t_axis(a, e)
+            v = _shift(w[a], t, 1) - w[a]
+            acc = v if acc is None else acc + v
+        out.append(cr[C_ELW + e] * acc)
+    return out
+
+
+def _mom_block(s, cr, K, T, cpbx, cpby, nz, mono_fn, mom_ref):
+    """Per-cube monomial moments of the reduced-masked s into mom_ref
+    (shared body of the moments kernel and the fused grid-apply kernel)."""
+    zi = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 1)
+    Z = (zi // T == ci).astype(s[0].dtype)
+    lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
+    pz_local = (lz3 - T * (lz3 // T)).astype(s[0].dtype)
+    lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(s[0].dtype)
+    ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(s[0].dtype)
+    for a in range(3):
+        sm = s[a] * cr[C_RED + a]
+        for lc in range(cpbx):
+            for mc in range(cpby):
+                sub = sm[
+                    HALO_X + lc * T : HALO_X + (lc + 1) * T,
+                    HALO_Y + mc * T : HALO_Y + (mc + 1) * T,
+                    :,
+                ]
+                pos = [lx3, ly3, pz_local]
+                pos[a] = pos[a] + 0.5
+                mono = mono_fn(pos[0], pos[1], pos[2])
+                rows = jnp.stack(
+                    [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)], axis=0
+                )
+                mom_ref[lc, mc, a * K : (a + 1) * K, :] = jnp.dot(
+                    rows, Z, preferred_element_type=rows.dtype, precision="highest"
+                )
+
+
+def _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn):
+    """Fused kernel: the full grid branch of the apply (forward + transpose
+    + mass terms), the per-cube moments of the reduced-masked s, and the
+    block-partial <x, out_grid> (for the CG pAp dot) — one read of the
+    x/coefficient windows instead of the former two passes."""
+    cpbx, cpby = bx // T, by // T
+
+    def kernel(xr, cr, out_ref, mom_ref, pap_ref):
+        s = _forward_s(xr, cr)
+        w = [-cr[C_DTMCINV + a] * s[a] for a in range(3)]
+        _transpose_out(xr, cr, w, out_ref)
+        _mom_block(s, cr, K, T, cpbx, cpby, nz, mono_fn, mom_ref)
+        itr = (slice(HALO_X, s[0].shape[0] - HALO_X), slice(HALO_Y, s[0].shape[1] - HALO_Y), slice(None))
+        acc = None
+        for c in range(7):
+            t = jnp.sum(xr[c][itr] * out_ref[c])
+            acc = t if acc is None else acc + t
+        pap_ref[pl.program_id(0), pl.program_id(1)] = acc
+
+    return kernel
+
+
+def _grid_uniform_pap_kernel(xr, cr, out_ref, pap_ref):
+    """Uniform apply + block-partial <x, out>."""
+    s = _forward_s(xr, cr)
+    w = [-cr[C_DTMCINV + a] * s[a] for a in range(3)]
+    _transpose_out(xr, cr, w, out_ref)
+    itr = (slice(HALO_X, s[0].shape[0] - HALO_X), slice(HALO_Y, s[0].shape[1] - HALO_Y), slice(None))
+    acc = None
+    for c in range(7):
+        t = jnp.sum(xr[c][itr] * out_ref[c])
+        acc = t if acc is None else acc + t
+    pap_ref[pl.program_id(0), pl.program_id(1)] = acc
+
+
+def _finish_kernel(xr, c4r, gr, ur, out_ref, pap_ref):
+    """out = out_grid + [G Dt]^T(-u); pap partial += <x, that term>.
+    xr / gr are plain interior blocks (unpadded arrays); c4r / ur are halo
+    windows of the padded coeff (first 4 channels) and u stacks."""
+    w = [-ur[a] for a in range(3)]
+    contrib = _transpose_contrib(c4r, w)
+    itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+    acc = None
+    for c in range(7):
+        ci = contrib[c][itr]
+        out_ref[c] = gr[c] + ci
+        t = jnp.sum(xr[c] * ci)
+        acc = t if acc is None else acc + t
+    pap_ref[pl.program_id(0), pl.program_id(1)] = acc
+
+
+def _pap_spec(interpret, nbx, nby):
+    """Whole-array SMEM block written at [program_id] — Mosaic rejects
+    sub-(8, 128) blocked specs, but a full-array scalar-memory block with
+    one element written per grid step lowers fine (the TPU grid is
+    sequential, so the buffer persists across steps)."""
+    return pl.BlockSpec(
+        (nbx, nby), lambda i, j: (0, 0),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+
+
+def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
+    """(out_grid, mom, pap_partials): the fused first pass of the reduced
+    apply.  out_grid is the complete grid branch (incl. mass terms); mom
+    are cube-origin moments of the reduced-masked s; pap_partials[i, j]
+    sum to <x, out_grid x>."""
+    from .basis import monomials_xyz, n_monomials
+
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _blocks_for(res)
+    K = n_monomials(basis)
+    cpbx, cpby = bx // T, by // T
+    cs = tuple(-(-n // T) for n in res)
+
+    def mono_fn(ox, oy, oz):
+        return monomials_xyz(ox, oy, oz, basis)
+
+    kernel = _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    mom_spec = pl.BlockSpec(
+        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    dtype = xp_padded.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xspec, cspec],
+        out_specs=[out_spec(7), mom_spec, _pap_spec(interpret, nx // bx, ny // by)],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((cs[0], cs[1], 3 * K, cs[2]), dtype),
+            jax.ShapeDtypeStruct((nx // bx, ny // by), dtype),
+        ],
+        interpret=interpret,
+    )(xp_padded, coeffs_padded)
+
+
+def apply_uniform_pap_packed(xp, coeffs_padded, res, interpret=None):
+    """(out, pap_partials) for the uniform apply."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _blocks_for(res)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    return pl.pallas_call(
+        _grid_uniform_pap_kernel,
+        grid=grid,
+        in_specs=[xspec, cspec],
+        out_specs=[out_spec(7), _pap_spec(interpret, nx // bx, ny // by)],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
+            jax.ShapeDtypeStruct((nx // bx, ny // by), xp.dtype),
+        ],
+        interpret=interpret,
+    )(_pad_halo(xp), coeffs_padded)
+
+
+def finish_pap_packed(xp, coeffs_padded, out_grid, up, res, interpret=None):
+    """(out, pap_u_partials): add the reduced-branch transpose of u to
+    out_grid; partials sum to <x, that contribution>."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _blocks_for(res)
+    grid = (nx // bx, ny // by)
+
+    def halo_spec(c):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
+            lambda i, j: (0, i * bx, j * by, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    def plain_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        _finish_kernel,
+        grid=grid,
+        in_specs=[plain_spec(7), halo_spec(4), plain_spec(7), halo_spec(3)],
+        out_specs=[plain_spec(7), _pap_spec(interpret, nx // bx, ny // by)],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
+            jax.ShapeDtypeStruct((nx // bx, ny // by), xp.dtype),
+        ],
+        interpret=interpret,
+    )(xp, coeffs_padded, out_grid, _pad_halo(up))
 
 
 def pallas_compatible(grid_res, params) -> bool:

@@ -38,6 +38,10 @@ def build_argparser():
                    choices=["identity", "diagonal", "cell_arrow", "multigrid"],
                    help="device preconditioner (PreconditionerType)")
     p.add_argument("--diag-precond", action="store_true", help="alias for --precond diagonal")
+    p.add_argument("--deflation", action="store_true",
+                   help="A-DEF2 two-level deflation on top of the preconditioner")
+    p.add_argument("--deflation-tile", type=int, default=0,
+                   help="coarse cube size for --deflation (0 = tile size)")
     p.add_argument("--solver", default="pcg", choices=["pcg", "eigen"],
                    help="pcg = device matrix-free; eigen = host explicit path")
     p.add_argument("--scheme", default="pressure_stress",
@@ -49,6 +53,8 @@ def build_argparser():
     p.add_argument("--params", help="JSON file overriding SolverParams")
     p.add_argument("--export-prefix", help="export grids/components/stats with this prefix")
     p.add_argument("--export-mtx", action="store_true", help="MatrixMarket instead of npz")
+    p.add_argument("--viz", action="store_true",
+                   help="render exported grids to PNG slice maps (viz.py)")
     p.add_argument("--checkpoint", help="write a checkpoint npz after the run")
     p.add_argument("--resume", help="resume from a checkpoint npz")
     p.add_argument("--profile", action="store_true", help="per-stage instrumented run")
@@ -116,10 +122,12 @@ def main(argv=None):
             solver_type=SolverType.EIGEN if args.solver == "eigen" else SolverType.PCG_MATRIX_VECTOR_PRODUCTS,
             matrix_scheme=MatrixScheme(args.scheme),
             use_pallas=args.pallas,
+            deflation=args.deflation,
+            deflation_tile=args.deflation_tile,
         )
         if args.params:
             with open(args.params) as f:
-                params = params_from_json(f.read())
+                params = params_from_json(f.read(), base=params)
         kw = {}
         if args.viscosity is not None:
             kw["viscosity"] = args.viscosity
@@ -222,6 +230,11 @@ def main(argv=None):
         if args.export_prefix or params.export_stats:
             export_stats(prefix, {k: v for k, v in stats.items()})
         print(f"exported to {prefix}*")
+        if args.viz:
+            from .viz import render_npz
+
+            for f in render_npz(prefix + "grids.npz"):
+                print(f"rendered {f}")
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, grid, scene, params, start + args.steps)

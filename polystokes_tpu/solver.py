@@ -29,6 +29,7 @@ from .classify import (
 )
 from .config import MatrixScheme, PreconditionerType, SolverParams, SolverType
 from .grid import Grid
+from .precision import precise_matmul
 from .operators import (
     Assembled,
     PTau,
@@ -327,30 +328,12 @@ def check_pallas(grid: Grid, scene: Scene, params: SolverParams) -> SolverParams
     return params
 
 
-def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
-    """The fused-kernel apply on packed [7, nx, ny, nz] vectors.  The
-    reduced J coupling runs as: fused per-cube moments kernel -> tiny
-    region algebra (scatter + batched BInv) -> XLA polynomial expand ->
-    fused combine kernel (which recomputes s in-block)."""
+def _region_algebra_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+    """The tiny per-cube region algebra between the moments and expand
+    kernels: mom [cs0, cs1, 3K, cs2] -> v_arr [cs0, cs1, 3K, cs2] (cube-
+    origin-basis polynomial coefficients of BInv J x), plus the reduced-
+    face mask stack the kernels gate on."""
     from .basis import monomial_matrix, monomial_shift_matrix, n_monomials
-    from .pallas_apply import (
-        _pad_halo,
-        apply_reduced_packed,
-        apply_uniform_packed,
-        expand_packed,
-        moments_packed,
-        pack_coeffs,
-    )
-
-    reduced = params.do_reduced_regions
-    coeffs = pack_coeffs(asm, cls if reduced else None)
-    if not reduced:
-
-        def apply_uniform(xp):
-            return apply_uniform_packed(xp, coeffs, grid.res)
-
-        return apply_uniform
-
     from .reduced import _cube_scatter
 
     T = params.tile_size
@@ -370,7 +353,6 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
     cprime = com_cube - origins  # [nc, 3]
     S = monomial_shift_matrix(cprime[:, 0], cprime[:, 1], cprime[:, 2], params.basis)
 
-    nc = cs[0] * cs[1] * cs[2]
     safe_cube = jnp.clip(roc, 0, R - 1)
     cube_ok = (roc >= 0).astype(params.dtype)
     from .classify import REDUCED as _RED
@@ -384,9 +366,7 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
         axis=0,
     )
 
-    def apply_packed(xp):
-        xpad = _pad_halo(xp)
-        mom = moments_packed(xpad, coeffs, grid.res, T, params.basis)
+    def algebra(mom):
         m = jnp.transpose(mom, (0, 1, 3, 2)).reshape(-1, 3, K)  # [nc, 3, K] raw
         m_rel = jnp.einsum("ckj,caj->cak", S, m)
         y = sum(m_rel[:, a, :] @ A_mats[a].T for a in range(3))  # [nc, D]
@@ -395,17 +375,95 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
         w_cube = w[safe_cube] * cube_ok[:, None]  # [nc, D]
         v_com = jnp.stack([w_cube @ A_mats[a] for a in range(3)], axis=1)  # [nc, 3, K]
         v_origin = jnp.einsum("ckj,cak->caj", S, v_com)
-        v_arr = jnp.transpose(
-            v_origin.reshape(cs[0], cs[1], cs[2], 3 * K), (0, 1, 3, 2)
-        )
+        return jnp.transpose(v_origin.reshape(cs[0], cs[1], cs[2], 3 * K), (0, 1, 3, 2))
+
+    return algebra, red_packed
+
+
+def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+    """The fused-kernel apply on packed [7, nx, ny, nz] vectors.  The
+    reduced J coupling runs as: fused per-cube moments kernel -> tiny
+    region algebra (scatter + batched BInv) -> XLA polynomial expand ->
+    fused combine kernel (which recomputes s in-block)."""
+    from .pallas_apply import (
+        _pad_halo,
+        apply_reduced_packed,
+        apply_uniform_packed,
+        expand_packed,
+        moments_packed,
+        pack_coeffs,
+    )
+
+    reduced = params.do_reduced_regions
+    coeffs = pack_coeffs(asm, cls if reduced else None)
+    if not reduced:
+
+        def apply_uniform(xp):
+            return apply_uniform_packed(xp, coeffs, grid.res)
+
+        return apply_uniform
+
+    T = params.tile_size
+    algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R)
+
+    def apply_packed(xp):
+        xpad = _pad_halo(xp)
+        mom = moments_packed(xpad, coeffs, grid.res, T, params.basis)
+        v_arr = algebra(mom)
         up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
         return apply_reduced_packed(xpad, coeffs, up, grid.res)
 
     return apply_packed
 
 
-def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams):
-    """Packed-layout preconditioners (identity / Jacobi / arrow)."""
+def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+    """Fused apply returning (A x, <x, A x>): the grid branch, per-cube
+    moments and the pAp block-partials run in ONE kernel (one read of the
+    x/coeff windows), the reduced transpose + its pAp contribution in a
+    second; the former separate moments pass and the CG dot disappear."""
+    from .pallas_apply import (
+        _pad_halo,
+        apply_uniform_pap_packed,
+        expand_packed,
+        finish_pap_packed,
+        grid_mom_pap_packed,
+        pack_coeffs,
+    )
+
+    reduced = params.do_reduced_regions
+    coeffs = pack_coeffs(asm, cls if reduced else None)
+    if not reduced:
+
+        def apply_dot_uniform(xp):
+            out, pap = apply_uniform_pap_packed(xp, coeffs, grid.res)
+            return out, jnp.sum(pap)
+
+        return apply_dot_uniform
+
+    T = params.tile_size
+    algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R)
+
+    def apply_dot(xp):
+        xpad = _pad_halo(xp)
+        out_grid, mom, pap1 = grid_mom_pap_packed(xpad, coeffs, grid.res, T, params.basis)
+        v_arr = algebra(mom)
+        up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
+        out, pap2 = finish_pap_packed(xp, coeffs, out_grid, up, grid.res)
+        return out, jnp.sum(pap1) + jnp.sum(pap2)
+
+    return apply_dot
+
+
+@precise_matmul
+def precond_factors_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams):
+    """Loop-invariant preconditioner factor fields for the packed path.
+
+    The arrow/diagonal setup includes the reduced-diagonal quadratic-form
+    probe (`precond._diag_quadratic_form`) which costs whole seconds of
+    device time at 128^3+ — computing it once here and threading the
+    result through every jitted segment keeps the per-segment cost at
+    zero (the reference's analog is building the preconditioner once
+    before the solve, Preconditioner.cpp:30-158)."""
     from .pallas_apply import _edge_to_slot, pack_ptau
 
     if params.preconditioner == PreconditionerType.IDENTITY:
@@ -415,6 +473,27 @@ def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, 
 
         k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
         te_inv_s = [_edge_to_slot(te_inv[e], e) for e in range(3)]
+        return dict(
+            k=list(k), inv_d=list(inv_d), kd=list(kd),
+            inv_schur=inv_schur, te_inv_s=te_inv_s,
+        )
+    from .precond import _safe_inv, schur_diagonal
+
+    d = schur_diagonal(grid, cls, asm, params)
+    return dict(inv_packed=pack_ptau(jax.tree.map(_safe_inv, d)))
+
+
+def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, factors=None):
+    """Packed-layout preconditioners (identity / Jacobi / arrow).  Pass
+    `factors` (precond_factors_packed) to reuse setup across jitted
+    segment calls."""
+    if params.preconditioner == PreconditionerType.IDENTITY:
+        return None
+    if factors is None:
+        factors = precond_factors_packed(grid, cls, asm, params)
+    if params.preconditioner == PreconditionerType.CELL_ARROW:
+        k, inv_d, kd = factors["k"], factors["inv_d"], factors["kd"]
+        inv_schur, te_inv_s = factors["inv_schur"], factors["te_inv_s"]
 
         def solve_arrow(rp):
             z_p = (rp[0] + sum(kd[a] * rp[1 + a] for a in range(3))) * inv_schur
@@ -424,10 +503,7 @@ def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, 
 
         return solve_arrow
 
-    from .precond import _safe_inv, schur_diagonal
-
-    d = schur_diagonal(grid, cls, asm, params)
-    inv_packed = pack_ptau(jax.tree.map(_safe_inv, d))
+    inv_packed = factors["inv_packed"]
 
     def solve_diag(rp):
         return inv_packed * rp
@@ -535,6 +611,7 @@ def _dof_counts(cls: Classification):
     return n_center, n_faces, n_edges
 
 
+@precise_matmul
 def _setup(grid: Grid, scene: Scene, params: SolverParams):
     """Weights -> classify -> assemble (the scene-dependent, solve-
     independent part of the pipeline)."""
@@ -546,10 +623,47 @@ def _setup(grid: Grid, scene: Scene, params: SolverParams):
     return cls, asm
 
 
-def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None):
+@precise_matmul
+def _make_deflation(grid: Grid, cls, asm, params: SolverParams):
+    """Build the A-DEF2 deflation state (deflation.py) when enabled and
+    statically supported; None otherwise.  Probe applies use the packed
+    layout (wrapping the PTau apply when the Pallas path is off)."""
+    from .deflation import build_deflation, deflation_supported
+
+    if not params.deflation:
+        return None
+    if not deflation_supported(grid, params):
+        import warnings
+
+        warnings.warn(
+            "deflation requested but unsupported for this grid/params "
+            "(coarse tile must divide the resolution; reduced solves must "
+            "be tiled with deflation_tile a multiple of tile_size) — "
+            "continuing without deflation",
+            stacklevel=2,
+        )
+        return None
+    R = effective_max_regions(grid, params)
+    if _use_packed(grid, params):
+        ap = make_apply_packed(grid, cls, asm, params, R)
+    else:
+        from .pallas_apply import pack_ptau, unpack_ptau
+
+        inner = make_apply(grid, cls, asm, params, R)
+
+        def ap(xp):
+            return pack_ptau(inner(unpack_ptau(xp)))
+
+    return build_deflation(grid, cls, params, ap)
+
+
+@precise_matmul
+def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None):
     """(apply_K, precond, b_K, x0_K, packed): the Krylov-space operator,
     preconditioner, RHS and initial guess — packed [7,...] channel layout
-    when the fused Pallas path is enabled, PTau otherwise."""
+    when the fused Pallas path is enabled, PTau otherwise.  `defl` (a
+    DeflationState) wraps the preconditioner in the A-DEF2 two-level
+    combination and projects the initial guess."""
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
     b = build_rhs(grid, cls, asm, params, R)
@@ -577,40 +691,67 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
         from .pallas_apply import pack_ptau
 
         apply_K = make_apply_packed(grid, cls, asm, params, R)
+        apply_dot = make_apply_packed_pap(grid, cls, asm, params, R) if params.fuse_pap else None
         precond = make_preconditioner_packed(grid, cls, asm, params)
-        return apply_K, precond, pack_ptau(b), pack_ptau(x0), True
+        b_K, x0_K = pack_ptau(b), pack_ptau(x0)
+        if defl is not None:
+            from .deflation import deflate_guess_packed, deflated_precond_packed
+
+            x0_K = deflate_guess_packed(defl, apply_K, b_K, x0_K)
+            precond = deflated_precond_packed(defl, apply_K, base=precond)
+        return apply_K, apply_dot, precond, b_K, x0_K, True
     from .precond import make_preconditioner
 
     apply_K = make_apply(grid, cls, asm, params, R)
     precond = make_preconditioner(grid, cls, asm, params)
-    return apply_K, precond, b, x0, False
+    if defl is not None:
+        from .deflation import deflated_precond_ptau, deflate_guess_ptau
+
+        x0 = deflate_guess_ptau(defl, apply_K, b, x0)
+        precond = deflated_precond_ptau(defl, apply_K, base=precond)
+    return apply_K, None, precond, b, x0, False
 
 
 @partial(jax.jit, static_argnames=("grid", "params"))
-def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None):
-    apply_K, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess)
+@precise_matmul
+def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None):
+    apply_K, _apply_dot, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
     return krylov.pcg_init(apply_K, b_K, x0_K, precond)
 
 
 @partial(jax.jit, static_argnames=("grid", "params", "segment_iters"), donate_argnames=("carry",))
-def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_iters: int):
+@precise_matmul
+def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_iters: int, defl=None, pfac=None):
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
+    apply_dot = None
     if packed:
         apply_K = make_apply_packed(grid, cls, asm, params, R)
-        precond = make_preconditioner_packed(grid, cls, asm, params)
+        if params.fuse_pap:
+            apply_dot = make_apply_packed_pap(grid, cls, asm, params, R)
+        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
+        if defl is not None:
+            from .deflation import deflated_precond_packed
+
+            precond = deflated_precond_packed(defl, apply_K, base=precond)
     else:
         from .precond import make_preconditioner
 
         apply_K = make_apply(grid, cls, asm, params, R)
         precond = make_preconditioner(grid, cls, asm, params)
+        if defl is not None:
+            from .deflation import deflated_precond_ptau
+
+            precond = deflated_precond_ptau(defl, apply_K, base=precond)
     return krylov.pcg_segment(
         apply_K, carry, precond, tol=params.tolerance,
         max_iters=params.max_iterations, segment_iters=segment_iters,
+        apply_dot=apply_dot,
     )
 
 
 @partial(jax.jit, static_argnames=("grid", "params"))
+@precise_matmul
 def _chunk_finalize(grid: Grid, scene: Scene, params: SolverParams, cls, asm, carry):
     R = effective_max_regions(grid, params)
     res = krylov.pcg_result(carry)
@@ -676,10 +817,16 @@ def solve_chunked(
 
     t_start = _time.monotonic()
     cls, asm = jax.jit(_setup, static_argnames=("grid", "params"))(grid, scene, params)
+    defl = jax.jit(_make_deflation, static_argnames=("grid", "params"))(grid, cls, asm, params)
+    pfac = None
+    if _use_packed(grid, params):
+        pfac = jax.jit(precond_factors_packed, static_argnames=("grid", "params"))(
+            grid, cls, asm, params
+        )
 
     import os as _os
 
-    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess)
+    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl)
     if resume and state_path and _os.path.exists(state_path):
         d = np.load(state_path)
         leaves, treedef = jax.tree.flatten(carry)
@@ -689,7 +836,7 @@ def solve_chunked(
     interrupted = False
     try:
         while True:
-            carry = _chunk_segment(grid, params, cls, asm, carry, segment_iters)
+            carry = _chunk_segment(grid, params, cls, asm, carry, segment_iters, defl, pfac)
             k = int(carry.k)
             done = bool(carry.done)
             rre = float(carry.rre)
@@ -715,6 +862,7 @@ def solve_chunked(
 
 
 @partial(jax.jit, static_argnames=("grid", "params"))
+@precise_matmul
 def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     """One Stokes solve.  Returns (new_velocity, valid_masks, stats).
 
@@ -724,19 +872,20 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     solution into one."""
     R = effective_max_regions(grid, params)
     cls, asm = _setup(grid, scene, params)
+    defl = _make_deflation(grid, cls, asm, params)
 
     # packed fast path: the whole Krylov loop runs on channel-stacked
     # [7, nx, ny, nz] vectors through the fused Pallas kernels, with one
     # pack before and one unpack after (pallas_apply.py); the device
     # warm-start guess (constructGuessVectors, Solver.cpp:521-531) is
     # built inside _build_krylov_system
-    apply_K, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess)
+    apply_K, apply_dot, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
     if packed:
         from .pallas_apply import unpack_ptau
 
     if params.do_solve:
         if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
-            res = krylov.pcg(apply_K, b_K, x0_K, precond=precond, tol=params.tolerance, max_iters=params.max_iterations)
+            res = krylov.pcg(apply_K, b_K, x0_K, precond=precond, tol=params.tolerance, max_iters=params.max_iterations, apply_dot=apply_dot)
             if params.bicgstab_fallback:
                 def _fallback(_):
                     return krylov.bicgstab(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)

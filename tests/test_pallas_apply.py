@@ -86,6 +86,32 @@ def test_pack_roundtrip():
         assert float(jnp.max(jnp.abs(x.te[e] - x2.te[e]))) == 0.0
 
 
+@pytest.mark.parametrize("reduced", [False, True])
+def test_pap_fused_matches_separate(reduced):
+    """make_apply_packed_pap == (make_apply_packed, <x, Ax>): the fused
+    apply+dot kernels (grid_mom_pap / finish_pap / uniform_pap) must
+    reproduce the separate apply and the exact CG dot."""
+    from polystokes_tpu.pallas_apply import pack_ptau
+    from polystokes_tpu.solver import make_apply_packed, make_apply_packed_pap
+
+    grid, params, scene, cls, asm, R = _make(reduced)
+    params = params.replace(use_pallas=True)
+    rng = np.random.default_rng(2)
+    xp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), params.dtype)
+    # mask to the packed DOF layout so the dot is over real DOFs only
+    from polystokes_tpu.deflation import packed_masks
+
+    xp = xp * packed_masks(grid, cls, params.dtype)
+
+    y_sep = make_apply_packed(grid, cls, asm, params, R)(xp)
+    y_fused, pap = make_apply_packed_pap(grid, cls, asm, params, R)(xp)
+
+    scale = max(float(jnp.max(jnp.abs(y_sep))), 1.0)
+    assert float(jnp.max(jnp.abs(y_sep - y_fused))) < 1e-5 * scale
+    pap_ref = float(jnp.sum(xp * y_sep))
+    assert abs(float(pap) - pap_ref) < 1e-4 * max(abs(pap_ref), 1.0)
+
+
 @pytest.mark.parametrize("pc", ["cell_arrow", "diagonal"])
 def test_packed_step_matches_xla_step(pc):
     """Full packed-loop step == XLA step (same iterations, same velocities).

@@ -28,6 +28,13 @@ def main():
 
     cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
     try:
+        # honor JAX_PLATFORMS even when sitecustomize preloaded jax with the
+        # axon platform list (see run.py)
+        import os as _os
+
+        if _os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001

@@ -18,6 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _cache = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+# honor JAX_PLATFORMS even when sitecustomize preloaded jax with the
+# axon platform list (see run.py)
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -20,11 +20,24 @@ def main():
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--segment", type=int, default=2000)
     ap.add_argument("--max-iters", type=int, default=20000)
+    ap.add_argument("--no-fuse-pap", action="store_true")
+    ap.add_argument("--precond", default="cell_arrow")
     args = ap.parse_args()
+
+    import faulthandler
+
+    faulthandler.dump_traceback_later(300, repeat=True)  # stall diagnosis
 
     import jax
 
     cache = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
+    # honor JAX_PLATFORMS even when sitecustomize preloaded jax with the
+    # axon platform list (see run.py)
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -37,9 +50,9 @@ def main():
 
     params = SolverParams(
         do_reduced_regions=True, do_tile=True, tile_size=args.tile, tile_padding=2,
-        preconditioner=PreconditionerType.CELL_ARROW, use_pallas=True,
+        preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
-        deflation=args.deflation,
+        deflation=args.deflation, fuse_pap=not args.no_fuse_pap,
     )
     grid, scene = honey_coil(n=args.n, dtype=jnp.float32)
     params = check_pallas(grid, scene, params)

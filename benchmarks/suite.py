@@ -21,26 +21,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(name, grid, scene, params):
+def run_config(name, grid, scene, params, segment_iters=1000):
     import jax
 
-    from polystokes_tpu import step
-    from polystokes_tpu.solver import check_pallas
-
-    import numpy as np
+    from polystokes_tpu.solver import check_pallas, solve_chunked
 
     params = check_pallas(grid, scene, params)
-    # keep the master scene on the host and donate a per-call device copy,
-    # so the step can reuse the input buffers and no second device copy
-    # stays alive
-    host_scene = jax.tree.map(lambda x: np.asarray(x), scene)
-    fn = jax.jit(lambda s: step(grid, s, params), donate_argnums=0)
 
+    # chunked solve: every device execution stays bounded (the remote
+    # tunnel kills single calls past ~4 minutes — a converged 256^3 run
+    # only finishes as segments), and Ctrl-C between segments keeps the
+    # partial record
     def call():
-        fresh = jax.tree.map(jax.device_put, host_scene)
-        out = fn(fresh)
+        out = solve_chunked(grid, scene, params, segment_iters=segment_iters)
         jax.block_until_ready(out[0])
-        del fresh
         return out
 
     t0 = time.perf_counter()
@@ -83,6 +77,13 @@ def main():
 
     cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
     try:
+        # honor JAX_PLATFORMS even when sitecustomize preloaded jax with the
+        # axon platform list (see run.py)
+        import os as _os
+
+        if _os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001
@@ -120,10 +121,10 @@ def main():
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("solid_coupled_conveyor_64", grid, scene, p))
     if 5 in want:
-        # tile 16 at 256^3: the packed kernels need tile <= the
-        # VMEM-guarded 8-wide blocks there, so this runs the XLA path;
-        # tile 8 (65536 region slots) currently faults the device in the
-        # batched region algebra (ROADMAP known issue)
+        # tile 16 at 256^3 runs the packed kernels with 16x8 blocks
+        # (partial-cube y moments, pallas_apply._mom_block); the former
+        # tile-8 [65536, 26, 26] batched-LU device fault is chunked away
+        # in linalg._map_chunked
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
         records.append(run_config("tiled_armadillo_256", grid, scene, p))

@@ -24,18 +24,24 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import SolverParams
 from .grid import Grid, shift
 
-UNSOLVED = jnp.int8(0)
-SOLID = jnp.int8(1)
-GENERICFLUID = jnp.int8(2)
-ACTIVEFLUID = jnp.int8(3)
-REDUCED = jnp.int8(4)
-BOUNDARY = jnp.int8(5)
+# numpy scalars, NOT jnp: module-level jnp scalars initialize the JAX
+# backend at import time, before the CLI can select a platform (with the
+# axon remote-TPU shim registered, `JAX_PLATFORMS=cpu python -m
+# polystokes_tpu.run` would initialize — and hang on — the remote
+# backend).  numpy scalars behave identically inside traced expressions.
+UNSOLVED = np.int8(0)
+SOLID = np.int8(1)
+GENERICFLUID = np.int8(2)
+ACTIVEFLUID = np.int8(3)
+REDUCED = np.int8(4)
+BOUNDARY = np.int8(5)
 
-INVALID_REGION = jnp.int32(-1)
+INVALID_REGION = np.int32(-1)
 
 
 def is_active(lbl):

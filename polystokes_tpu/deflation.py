@@ -70,13 +70,27 @@ def deflation_tile(grid: Grid, params: SolverParams) -> int:
     return tc
 
 
+# dense-E ceiling: E is [k, k] with k = 7 * n_cubes, built and inverted
+# densely — k=8192 is 256MB for E + the same for the inverse, the
+# practical device limit (128^3/tile16 -> k=3584; 256^3 needs
+# deflation_tile >= 32 -> k=3584 again)
+MAX_COARSE_DOFS = 8192
+
+
 def deflation_supported(grid: Grid, params: SolverParams) -> bool:
     """Static feasibility: the coarse lattice must tile the grid exactly,
-    and (for reduced solves) regions must be cube-local so probe supports
-    stay within one cube ring — i.e. the tiled path with the coarse tile a
-    multiple of the reduction tile."""
+    the dense coarse operator must fit (MAX_COARSE_DOFS — raise
+    params.deflation_tile at high resolution), and (for reduced solves)
+    regions must be cube-local so probe supports stay within one cube
+    ring — i.e. the tiled path with the coarse tile a multiple of the
+    reduction tile."""
     tc = deflation_tile(grid, params)
     if any(n % tc for n in grid.res):
+        return False
+    nc = 1
+    for n in grid.res:
+        nc *= n // tc
+    if 7 * nc > MAX_COARSE_DOFS:
         return False
     if params.do_reduced_regions:
         if not params.do_tile:

@@ -66,11 +66,39 @@ def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return X[..., 0] if vec else X
 
 
+# above this batch count, factorizations run chunked through lax.map:
+# one [65536, 26, 26] batched LU faults the TPU device at runtime
+# (256^3 tile-8 production config; ROADMAP round-2 known issue), while
+# 8k-region chunks are the same shapes the 128^3 configs run fine at
+_CHUNK_REGIONS = 8192
+
+
+def _map_chunked(fn, A, B=None):
+    """Apply fn over the leading batch dim in _CHUNK_REGIONS blocks
+    (lax.scan over chunks — bounds the live working set and sidesteps the
+    huge-batch LU fault).  Shapes are static: pad R up to a multiple."""
+    R = A.shape[0]
+    n_chunks = -(-R // _CHUNK_REGIONS)
+    Rp = n_chunks * _CHUNK_REGIONS
+    eyepad = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), (Rp - R,) + A.shape[1:])
+    Ap = jnp.concatenate([A, eyepad], 0).reshape((n_chunks, _CHUNK_REGIONS) + A.shape[1:])
+    if B is None:
+        out = jax.lax.map(fn, Ap)
+    else:
+        Bp = jnp.concatenate([B, jnp.zeros((Rp - R,) + B.shape[1:], B.dtype)], 0)
+        Bp = Bp.reshape((n_chunks, _CHUNK_REGIONS) + B.shape[1:])
+        out = jax.lax.map(lambda ab: fn(*ab), (Ap, Bp))
+    return out.reshape((Rp,) + out.shape[2:])[:R]
+
+
 def solve_spd(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """A^{-1} B for batched SPD A; uses Cholesky when the backend cannot
-    do a batched LU at this dtype (f64 on TPU), jnp.linalg.solve else."""
+    do a batched LU at this dtype (f64 on TPU), jnp.linalg.solve else.
+    Batches beyond _CHUNK_REGIONS run chunked (see _map_chunked)."""
     if _needs_cholesky(A.dtype):
         return cholesky_solve(cholesky_batched(A), B)
+    if A.ndim == 3 and A.shape[0] > _CHUNK_REGIONS:
+        return _map_chunked(jnp.linalg.solve, A, B)
     return jnp.linalg.solve(A, B)
 
 
@@ -80,6 +108,8 @@ def inv_spd(A: jnp.ndarray) -> jnp.ndarray:
         D = A.shape[-1]
         eye = jnp.broadcast_to(jnp.eye(D, dtype=A.dtype), A.shape)
         return cholesky_solve(cholesky_batched(A), eye)
+    if A.ndim == 3 and A.shape[0] > _CHUNK_REGIONS:
+        return _map_chunked(jnp.linalg.inv, A)
     return jnp.linalg.inv(A)
 
 

@@ -56,6 +56,16 @@ from .operators import PTau
 HALO_X = 2
 HALO_Y = 4
 
+
+def _ypb(T: int, by: int) -> int:
+    """y grid-blocks per cube column (1 when a block covers >= 1 cube).
+    When by < T the moments/expand kernels process PARTIAL cubes: each
+    block covers a by-wide y slice of the T-wide cube, and the moment
+    partials accumulate across the ypb consecutive innermost-grid visits
+    that share one output cube block (the TPU grid is sequential, so the
+    revisited VMEM output block persists between them)."""
+    return max(T // by, 1)
+
 # coefficient channel indices
 C_CLW = 0
 C_ELW = 1  # +e
@@ -257,45 +267,15 @@ def _apply_reduced_kernel(xr, cr, ur, out_ref):
 
 
 def _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn):
-    """Kernel: per-cube monomial moments of the reduced-masked s, taken
-    about each cube's ORIGIN (lower corner) — positions stay in [0, T], so
-    fp32 is well-conditioned and no COM data enters the kernel; the XLA
-    side shifts moments to COM-relative with monomial_shift_matrix.
-
-    Mosaic-friendly reductions: sublane sums over (x, y) to a (K, nz) row
-    block, then one MXU matmul against the 0/1 z-cube indicator matrix
-    gives all per-z-cube sums at once.  Outputs mom[cpbx, cpby, 3K, cs2]."""
-    cpbx, cpby = bx // T, by // T
-    cs2 = nz // T
+    """Kernel: per-cube monomial moments of the reduced-masked s (see
+    _mom_block).  Outputs mom[cpbx, max(cpby,1), 3K, cs2]; when by < T the
+    output block is revisited by ypb consecutive y-grid steps that each
+    add a partial-cube contribution."""
+    cpbx = bx // T
 
     def kernel(xr, cr, mom_ref):
         s = _forward_s(xr, cr)
-        # z-cube indicator [nz, cs2] and cube-local z coordinate
-        zi = jax.lax.broadcasted_iota(jnp.int32, (nz, cs2), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (nz, cs2), 1)
-        Z = (zi // T == ci).astype(s[0].dtype)
-        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
-        pz_local = (lz3 - T * (lz3 // T)).astype(s[0].dtype)
-        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(s[0].dtype)
-        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(s[0].dtype)
-        for a in range(3):
-            sm = s[a] * cr[C_RED + a]
-            for lc in range(cpbx):
-                for mc in range(cpby):
-                    sub = sm[
-                        HALO_X + lc * T : HALO_X + (lc + 1) * T,
-                        HALO_Y + mc * T : HALO_Y + (mc + 1) * T,
-                        :,
-                    ]
-                    pos = [lx3, ly3, pz_local]
-                    pos = list(pos)
-                    pos[a] = pos[a] + 0.5  # face position = slot + 1/2
-                    mono = mono_fn(pos[0], pos[1], pos[2])
-                    rows = [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)]
-                    rows = jnp.stack(rows, axis=0)  # (K, nz)
-                    mom_ref[lc, mc, a * K : (a + 1) * K, :] = jnp.dot(
-                        rows, Z, preferred_element_type=rows.dtype, precision="highest"
-                    )
+        _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref)
 
     return kernel
 
@@ -310,18 +290,24 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
     in the cube-origin monomial basis ([cs0, cs1, 3K, cs2]).  The per-z-
     cube coefficients expand to full-z rows via one MXU matmul against the
     z-cube indicator."""
-    cpbx, cpby = bx // T, by // T
+    cpbx = bx // T
+    cpby = max(by // T, 1)
+    ypb = _ypb(T, by)
+    wy = min(T, by)
     cs2 = nz // T
 
     def kernel(red_ref, v_ref, u_ref):
         dtype = red_ref.dtype
+        j_sub = jax.lax.rem(pl.program_id(1), jnp.int32(ypb)) if ypb > 1 else None
         zi = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 1)
         ci = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 0)
         Zt = (zi // T == ci).astype(dtype)  # (cs2, nz)
-        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
+        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 2)
         pz_local = (lz3 - T * (lz3 // T)).astype(dtype)
-        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(dtype)
-        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(dtype)
+        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 0).astype(dtype)
+        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 1).astype(dtype)
+        if ypb > 1:
+            ly3 = ly3 + (j_sub * by).astype(dtype)
         for a in range(3):
             for lc in range(cpbx):
                 for mc in range(cpby):
@@ -334,8 +320,9 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
                     for k in range(K):
                         term = mono[k] * vfull[k][None, None, :]
                         acc = term if acc is None else acc + term
-                    chi = red_ref[a, lc * T : (lc + 1) * T, mc * T : (mc + 1) * T, :]
-                    u_ref[a, lc * T : (lc + 1) * T, mc * T : (mc + 1) * T, :] = acc * chi
+                    ysl = slice(mc * wy, (mc + 1) * wy)
+                    chi = red_ref[a, lc * T : (lc + 1) * T, ysl, :]
+                    u_ref[a, lc * T : (lc + 1) * T, ysl, :] = acc * chi
 
     return kernel
 
@@ -352,7 +339,7 @@ def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
     nx, ny, nz = res
     bx, by = _blocks_for(res)
     K = n_monomials(basis)
-    cpbx, cpby = bx // T, by // T
+    cpbx = bx // T
     cs = tuple(-(-n // T) for n in res)
 
     def mono_fn(ox, oy, oz):
@@ -363,10 +350,7 @@ def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
         (3, bx, by, nz), lambda i, j: (0, i, j, 0),
         memory_space=None if interpret else pltpu.VMEM,
     )
-    v_spec = pl.BlockSpec(
-        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
-        memory_space=None if interpret else pltpu.VMEM,
-    )
+    v_spec = _mom_spec(T, bx, by, K, cs, interpret)
     u_spec = pl.BlockSpec(
         (3, bx, by, nz), lambda i, j: (0, i, j, 0),
         memory_space=None if interpret else pltpu.VMEM,
@@ -390,16 +374,34 @@ def _pick_block(n):
 
 def _blocks_for(res):
     """(bx, by) with a VMEM budget guard: the ~27-channel window set
-    (bx+2Hx, by+2Hy, nz) must stay under the 16MB scoped-vmem limit, so
-    both blocks halve when z is large."""
+    (bx+2Hx, by+2Hy, nz) must stay under the 16MB scoped-vmem limit.
+    At nz=256 only y halves (16x8 windows = ~9MB; keeping bx=16 lets
+    tile-16 cubes stay whole along x — the partial-cube accumulation in
+    _mom_block handles y); past nz=256 x halves too."""
     nx, ny, nz = res
     bx, by = _pick_block(nx), _pick_block(ny)
-    if nz > 128:
-        if bx == 16 and nx % 8 == 0:
-            bx = 8
-        if by == 16 and ny % 8 == 0:
-            by = 8
+    if nz > 128 and by == 16 and ny % 8 == 0:
+        by = 8
+    if nz > 256 and bx == 16 and nx % 8 == 0:
+        bx = 8
     return bx, by
+
+
+def _mom_spec(T, bx, by, K, cs, interpret):
+    """BlockSpec for the [cs0, cs1, 3K, cs2] moment/coefficient arrays:
+    block (bx//T, max(by//T, 1), 3K, cs2); when by < T, the ypb
+    consecutive y-grid blocks of one cube column map to the SAME output
+    block (partial-cube accumulation, _mom_block)."""
+    ypb = _ypb(T, by)
+    cpbx, cpby = bx // T, max(by // T, 1)
+
+    def index_map(i, j):
+        return (i, j // ypb, 0, 0) if ypb > 1 else (i, j, 0, 0)
+
+    return pl.BlockSpec(
+        (cpbx, cpby, 3 * K, cs[2]), index_map,
+        memory_space=None if interpret else pltpu.VMEM,
+    )
 
 
 def _grid_and_specs(res: Tuple[int, int, int], chans_in, interpret: bool):
@@ -516,23 +518,44 @@ def _transpose_contrib(cr, w):
     return out
 
 
-def _mom_block(s, cr, K, T, cpbx, cpby, nz, mono_fn, mom_ref):
-    """Per-cube monomial moments of the reduced-masked s into mom_ref
-    (shared body of the moments kernel and the fused grid-apply kernel)."""
+def _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref):
+    """Per-cube monomial moments of the reduced-masked s, taken about each
+    cube's ORIGIN (lower corner) — positions stay in [0, T], so fp32 is
+    well-conditioned and no COM data enters the kernel; the XLA side
+    shifts moments to COM-relative with monomial_shift_matrix.  Shared
+    body of the moments kernel and the fused grid-apply kernel.
+
+    Mosaic-friendly reductions: sublane sums over (x, y) to a (K, nz) row
+    block, then one MXU matmul against the 0/1 z-cube indicator matrix
+    gives all per-z-cube sums at once.
+
+    When by < T (large-z VMEM regime) each grid block covers a by-wide
+    PARTIAL y slice of the cube; the ypb consecutive innermost-grid
+    blocks that share one output cube block accumulate into it (the
+    revisited VMEM output block persists between sequential grid steps:
+    the first sub-block writes, the rest add)."""
+    dtype = s[0].dtype
+    ypb = _ypb(T, by)
+    wy = min(T, by)
+    cpby = max(by // T, 1)
+    j_sub = jax.lax.rem(pl.program_id(1), jnp.int32(ypb)) if ypb > 1 else None
+    yoff = (j_sub * by).astype(dtype) if ypb > 1 else None
     zi = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 1)
-    Z = (zi // T == ci).astype(s[0].dtype)
-    lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 2)
-    pz_local = (lz3 - T * (lz3 // T)).astype(s[0].dtype)
-    lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 0).astype(s[0].dtype)
-    ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, nz), 1).astype(s[0].dtype)
+    Z = (zi // T == ci).astype(dtype)
+    lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 2)
+    pz_local = (lz3 - T * (lz3 // T)).astype(dtype)
+    lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 0).astype(dtype)
+    ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 1).astype(dtype)
+    if ypb > 1:
+        ly3 = ly3 + yoff
     for a in range(3):
         sm = s[a] * cr[C_RED + a]
         for lc in range(cpbx):
             for mc in range(cpby):
                 sub = sm[
                     HALO_X + lc * T : HALO_X + (lc + 1) * T,
-                    HALO_Y + mc * T : HALO_Y + (mc + 1) * T,
+                    HALO_Y + mc * wy : HALO_Y + (mc + 1) * wy,
                     :,
                 ]
                 pos = [lx3, ly3, pz_local]
@@ -541,9 +564,18 @@ def _mom_block(s, cr, K, T, cpbx, cpby, nz, mono_fn, mom_ref):
                 rows = jnp.stack(
                     [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)], axis=0
                 )
-                mom_ref[lc, mc, a * K : (a + 1) * K, :] = jnp.dot(
-                    rows, Z, preferred_element_type=rows.dtype, precision="highest"
-                )
+                val = jnp.dot(rows, Z, preferred_element_type=dtype, precision="highest")
+                idx = (lc, mc, slice(a * K, (a + 1) * K), slice(None))
+                if ypb == 1:
+                    mom_ref[idx] = val
+                else:
+                    @pl.when(j_sub == 0)
+                    def _init(val=val, idx=idx):
+                        mom_ref[idx] = val
+
+                    @pl.when(j_sub != 0)
+                    def _acc(val=val, idx=idx):
+                        mom_ref[idx] = mom_ref[idx] + val
 
 
 def _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn):
@@ -551,13 +583,13 @@ def _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn):
     + mass terms), the per-cube moments of the reduced-masked s, and the
     block-partial <x, out_grid> (for the CG pAp dot) — one read of the
     x/coefficient windows instead of the former two passes."""
-    cpbx, cpby = bx // T, by // T
+    cpbx = bx // T
 
     def kernel(xr, cr, out_ref, mom_ref, pap_ref):
         s = _forward_s(xr, cr)
         w = [-cr[C_DTMCINV + a] * s[a] for a in range(3)]
         _transpose_out(xr, cr, w, out_ref)
-        _mom_block(s, cr, K, T, cpbx, cpby, nz, mono_fn, mom_ref)
+        _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref)
         itr = (slice(HALO_X, s[0].shape[0] - HALO_X), slice(HALO_Y, s[0].shape[1] - HALO_Y), slice(None))
         acc = None
         for c in range(7):
@@ -619,7 +651,6 @@ def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None)
     nx, ny, nz = res
     bx, by = _blocks_for(res)
     K = n_monomials(basis)
-    cpbx, cpby = bx // T, by // T
     cs = tuple(-(-n // T) for n in res)
 
     def mono_fn(ox, oy, oz):
@@ -627,10 +658,7 @@ def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None)
 
     kernel = _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn)
     grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
-    mom_spec = pl.BlockSpec(
-        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
-        memory_space=None if interpret else pltpu.VMEM,
-    )
+    mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     dtype = xp_padded.dtype
     return pl.pallas_call(
         kernel,
@@ -711,8 +739,10 @@ def pallas_compatible(grid_res, params) -> bool:
         if not params.do_tile or params.tile_padding < 1:
             return False  # general-region path has no packed moments kernel
         T = params.tile_size
-        if T > min(bx, by) or bx % T or by % T:
-            return False
+        if T > bx or bx % T:
+            return False  # cubes must stay whole along x
+        if by % T and T % by:
+            return False  # y: whole cubes per block OR whole blocks per cube
         if any(n % T for n in grid_res):
             return False
     return True
@@ -728,7 +758,6 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
     nx, ny, nz = res
     bx, by = _blocks_for(res)
     K = n_monomials(basis)
-    cpbx, cpby = bx // T, by // T
     cs = tuple(-(-n // T) for n in res)
 
     def mono_fn(ox, oy, oz):
@@ -736,10 +765,7 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
 
     kernel = _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn)
     grid, (xspec, cspec), _ = _grid_and_specs(res, (7, N_COEFF), interpret)
-    mom_spec = pl.BlockSpec(
-        (cpbx, cpby, 3 * K, cs[2]), lambda i, j: (i, j, 0, 0),
-        memory_space=None if interpret else pltpu.VMEM,
-    )
+    mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -58,6 +58,12 @@ def build_argparser():
     p.add_argument("--checkpoint", help="write a checkpoint npz after the run")
     p.add_argument("--resume", help="resume from a checkpoint npz")
     p.add_argument("--profile", action="store_true", help="per-stage instrumented run")
+    p.add_argument("--sim", action="store_true",
+                   help="frame loop: gravity + solve + grid semi-Lagrangian advection (sim.py)")
+    p.add_argument("--flip", type=int, default=0, metavar="P",
+                   help="frame loop with a P-particle FLIP transfer (flip.py; "
+                   "the TPU-native stand-in for the reference's Houdini FLIP host loop)")
+    p.add_argument("--gravity", type=float, default=-9.8)
     p.add_argument("--chunked", action="store_true",
                    help="chunked solve loop: K-iteration device segments with host "
                    "checks between (cancellable with Ctrl-C, reference opInterrupt parity)")
@@ -76,6 +82,15 @@ def main(argv=None):
     import os
 
     import jax
+
+    # honor JAX_PLATFORMS even when a sitecustomize preloaded jax and
+    # forced its own platform list (the axon remote-TPU shim sets
+    # "axon,cpu", which would initialize the remote backend — and hang
+    # the CLI outright when the tunnel is down — despite the user asking
+    # for cpu)
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat:
+        jax.config.update("jax_platforms", env_plat)
 
     # persistent compilation cache: repeat CLI invocations skip the
     # (minutes-long) XLA compile
@@ -193,6 +208,32 @@ def main(argv=None):
                 f"  converged={bool(stats['converged'])}  regions={int(stats['n_regions'])}"
             )
             scene = dataclasses.replace(scene, velocity=vel)
+    elif args.flip:
+        from .flip import seed_particles, flip_frame
+
+        state = seed_particles(grid, scene.surface_sdf, args.flip, dtype=params.dtype)
+        print(f"seeded {int(jnp.sum(state.alive))} / {args.flip} particles")
+        for k in range(start, start + args.steps):
+            t0 = time.perf_counter()
+            scene, state, stats = flip_frame(grid, scene, state, params, gravity=args.gravity)
+            jax.block_until_ready(scene.velocity[0])
+            print(
+                f"frame {k}: {time.perf_counter()-t0:.3f}s  iters={int(stats['iterations'])}"
+                f"  err={float(stats['error']):.3e}  converged={bool(stats['converged'])}"
+                f"  regions={int(stats['n_regions'])}"
+            )
+    elif args.sim:
+        from .sim import simulate_frame
+
+        for k in range(start, start + args.steps):
+            t0 = time.perf_counter()
+            scene, stats = simulate_frame(grid, scene, params, gravity=args.gravity)
+            jax.block_until_ready(scene.velocity[0])
+            print(
+                f"frame {k}: {time.perf_counter()-t0:.3f}s  iters={int(stats['iterations'])}"
+                f"  err={float(stats['error']):.3e}  converged={bool(stats['converged'])}"
+                f"  regions={int(stats['n_regions'])}"
+            )
     else:
         fn = jax.jit(lambda s: step(grid, s, params))
         for k in range(start, start + args.steps):

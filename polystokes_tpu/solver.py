@@ -815,18 +815,35 @@ def solve_chunked(
 
     import numpy as np
 
+    import os as _os
+
+    verbose = bool(int(_os.environ.get("POLYSTOKES_VERBOSE", "0")))
+
+    def _v(msg, t0=[None]):
+        if verbose:
+            now = _time.monotonic()
+            dt = 0.0 if t0[0] is None else now - t0[0]
+            t0[0] = now
+            print(f"[solve_chunked +{dt:7.1f}s] {msg}", flush=True)
+
     t_start = _time.monotonic()
+    _v("setup...")
     cls, asm = jax.jit(_setup, static_argnames=("grid", "params"))(grid, scene, params)
+    jax.block_until_ready(asm.clw_s)
+    _v("deflation build...")
     defl = jax.jit(_make_deflation, static_argnames=("grid", "params"))(grid, cls, asm, params)
     pfac = None
     if _use_packed(grid, params):
+        _v("precond factors...")
         pfac = jax.jit(precond_factors_packed, static_argnames=("grid", "params"))(
             grid, cls, asm, params
         )
+        jax.block_until_ready(pfac)
 
-    import os as _os
-
+    _v("chunk init...")
     carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl)
+    jax.block_until_ready(carry.r)
+    _v("first segment...")
     if resume and state_path and _os.path.exists(state_path):
         d = np.load(state_path)
         leaves, treedef = jax.tree.flatten(carry)
@@ -840,6 +857,7 @@ def solve_chunked(
             k = int(carry.k)
             done = bool(carry.done)
             rre = float(carry.rre)
+            _v(f"segment done: k={k} rre={rre:.3e} done={done}")
             if state_path:
                 leaves = jax.tree.leaves(carry)
                 np.savez(state_path, **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})

@@ -1,0 +1,107 @@
+"""FLIP loop components: P2G/G2P consistency, advection, particle surface."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from polystokes_tpu.flip import (
+    FlipState,
+    advect_particles,
+    g2p_flip,
+    p2g,
+    seed_particles,
+    surface_from_particles,
+)
+from polystokes_tpu.grid import Grid
+
+
+def _grid(n=16):
+    return Grid(res=(n, n, n), dx=1.0 / n)
+
+
+@pytest.mark.quick
+def test_p2g_g2p_constant_velocity():
+    """A constant particle velocity field transfers to a constant grid
+    field on every covered face, and PIC G2P (alpha=0) reads it back
+    exactly (partition of unity of the trilinear weights)."""
+    grid = _grid(16)
+    rng = np.random.default_rng(0)
+    P = 4096
+    pos = jnp.asarray(rng.uniform(2.0, 14.0, (P, 3)), jnp.float32)
+    c = jnp.asarray([1.5, -2.0, 0.25], jnp.float32)
+    vel = jnp.broadcast_to(c, (P, 3))
+    st = FlipState(pos=pos, vel=vel, alive=jnp.ones(P, jnp.float32))
+    gvel, cov = p2g(st, grid)
+    for a in range(3):
+        covered = np.asarray(cov[a]) > 0
+        assert covered.any()
+        np.testing.assert_allclose(np.asarray(gvel[a])[covered], float(c[a]), rtol=1e-5)
+    st2 = g2p_flip(st, gvel, gvel, alpha=0.0)
+    # interior particles see only covered faces -> exact readback
+    np.testing.assert_allclose(np.asarray(st2.vel), np.asarray(vel), atol=1e-5)
+
+
+@pytest.mark.quick
+def test_dead_particles_ignored():
+    grid = _grid(8)
+    pos = jnp.asarray([[4.0, 4.0, 4.0], [2.0, 2.0, 2.0]], jnp.float32)
+    vel = jnp.asarray([[1.0, 1.0, 1.0], [100.0, 100.0, 100.0]], jnp.float32)
+    st = FlipState(pos=pos, vel=vel, alive=jnp.asarray([1.0, 0.0], jnp.float32))
+    gvel, cov = p2g(st, grid)
+    for a in range(3):
+        assert float(jnp.max(jnp.abs(gvel[a]))) <= 1.0 + 1e-6
+
+
+@pytest.mark.quick
+def test_advect_uniform_velocity():
+    grid = _grid(16)
+    u = (
+        jnp.ones((17, 16, 16), jnp.float32) * 2.0,
+        jnp.ones((16, 17, 16), jnp.float32) * -1.0,
+        jnp.zeros((16, 16, 17), jnp.float32),
+    )
+    pos = jnp.asarray([[8.0, 8.0, 8.0]], jnp.float32)
+    st = FlipState(pos=pos, vel=jnp.zeros((1, 3), jnp.float32), alive=jnp.ones(1, jnp.float32))
+    st2 = advect_particles(st, u, dt_over_dx=0.5, res=grid.res)
+    np.testing.assert_allclose(np.asarray(st2.pos[0]), [9.0, 7.5, 8.0], atol=1e-5)
+
+
+@pytest.mark.quick
+def test_flip_blend():
+    """alpha=1 keeps the particle velocity plus the grid delta."""
+    grid = _grid(8)
+    zeros = (
+        jnp.zeros((9, 8, 8), jnp.float32),
+        jnp.zeros((8, 9, 8), jnp.float32),
+        jnp.zeros((8, 8, 9), jnp.float32),
+    )
+    ones = tuple(z + 1.0 for z in zeros)
+    pos = jnp.asarray([[4.0, 4.0, 4.0]], jnp.float32)
+    st = FlipState(pos=pos, vel=jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32), alive=jnp.ones(1, jnp.float32))
+    st2 = g2p_flip(st, zeros, ones, alpha=1.0)
+    np.testing.assert_allclose(np.asarray(st2.vel[0]), [6.0, 6.0, 6.0], atol=1e-6)
+    st3 = g2p_flip(st, zeros, ones, alpha=0.0)
+    np.testing.assert_allclose(np.asarray(st3.vel[0]), [1.0, 1.0, 1.0], atol=1e-6)
+
+
+@pytest.mark.quick
+def test_seed_and_surface_sign():
+    """Seeding fills liquid cells only; the rebuilt SDF is negative deep
+    inside the particle block and positive well outside."""
+    grid = _grid(16)
+    x = (jnp.arange(16, dtype=jnp.float32) + 0.5) / 16.0
+    X, Y, Z = jnp.meshgrid(x, x, x, indexing="ij")
+    # slab: liquid where 0.25 < z < 0.75
+    sdf = jnp.maximum(0.25 - Z, Z - 0.75)
+    st = seed_particles(grid, sdf, max_particles=1 << 15, seed=1)
+    assert float(jnp.sum(st.alive)) > 0
+    pos = np.asarray(st.pos[np.asarray(st.alive) > 0])
+    zc = pos[:, 2]  # cell units
+    assert zc.min() > 0.25 * 16 - 1.0 and zc.max() < 0.75 * 16 + 1.0
+
+    phi = surface_from_particles(st, grid)
+    phi_np = np.asarray(phi)
+    assert phi_np[8, 8, 8] < 0.0  # slab center
+    assert phi_np[8, 8, 0] > 0.0 and phi_np[8, 8, 15] > 0.0  # outside
+    # the surface sits near z = 0.25/0.75: |phi| small on the crossing cells
+    assert abs(phi_np[8, 8, 4]) < 2.5 * grid.dx

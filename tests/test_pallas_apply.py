@@ -135,6 +135,46 @@ def test_packed_step_matches_xla_step(pc):
         np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v0[a]), atol=2e-4 * scale)
 
 
+@pytest.mark.parametrize("by", [4, 2])
+def test_partial_y_blocks_match(monkeypatch, by):
+    """by < tile (the nz>128 VMEM regime at 256^3): partial-cube moments
+    accumulate across the ypb consecutive y-grid blocks of a cube column
+    (_mom_block / _mom_spec).  Forced here by shrinking the y block, and
+    checked against the XLA apply and the fused pAp pair."""
+    import polystokes_tpu.pallas_apply as pa
+    from polystokes_tpu.solver import make_apply, make_apply_packed, make_apply_packed_pap
+
+    grid, params, scene, cls, asm, R = _make(True)
+    monkeypatch.setattr(pa, "_blocks_for", lambda res: (8, by))
+    assert pa.pallas_compatible(grid.res, params)  # T=8, T % by == 0
+    rng = np.random.default_rng(3)
+    x = PTau(
+        p=jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype),
+        tc=tuple(jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype) for _ in range(3)),
+        te=tuple(jnp.asarray(rng.standard_normal(np.asarray(asm.uinv_e[e]).shape), params.dtype) for e in range(3)),
+    )
+    y_xla = make_apply(grid, cls, asm, params, R)(x)
+    y_pl = make_apply(grid, cls, asm, params.replace(use_pallas=True), R)(x)
+    scale = max(float(jnp.max(jnp.abs(y_xla.p))), 1.0)
+    assert float(jnp.max(jnp.abs(y_xla.p - y_pl.p))) < 1e-5 * scale
+    for a in range(3):
+        assert float(jnp.max(jnp.abs(y_xla.tc[a] - y_pl.tc[a]))) < 1e-5 * scale
+    for e in range(3):
+        assert float(jnp.max(jnp.abs(y_xla.te[e] - y_pl.te[e]))) < 1e-5 * scale
+
+    # fused pAp path under the same partial-y blocks
+    from polystokes_tpu.deflation import packed_masks
+
+    pparams = params.replace(use_pallas=True)
+    xp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), params.dtype)
+    xp = xp * packed_masks(grid, cls, params.dtype)
+    y_sep = make_apply_packed(grid, cls, asm, pparams, R)(xp)
+    y_fused, pap = make_apply_packed_pap(grid, cls, asm, pparams, R)(xp)
+    assert float(jnp.max(jnp.abs(y_sep - y_fused))) < 1e-5 * scale
+    pap_ref = float(jnp.sum(xp * y_sep))
+    assert abs(float(pap) - pap_ref) < 1e-4 * max(abs(pap_ref), 1.0)
+
+
 def test_boundary_active_stat():
     from polystokes_tpu import step
 

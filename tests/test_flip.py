@@ -105,3 +105,33 @@ def test_seed_and_surface_sign():
     assert phi_np[8, 8, 0] > 0.0 and phi_np[8, 8, 15] > 0.0  # outside
     # the surface sits near z = 0.25/0.75: |phi| small on the crossing cells
     assert abs(phi_np[8, 8, 4]) < 2.5 * grid.dx
+
+
+def test_flip_frame_integration():
+    """Two FLIP frames on a small scene: runs jitted end-to-end, keeps
+    velocities finite, keeps particles inside the domain, and the surface
+    stays a plausible SDF (negative somewhere, positive somewhere)."""
+    from polystokes_tpu import SolverParams
+    from polystokes_tpu.flip import flip_frame, seed_particles
+    from polystokes_tpu.scenes.builders import jelly_jam
+
+    grid, scene = jelly_jam(n=16, dtype=jnp.float32)
+    params = SolverParams(
+        dtype=jnp.float32, do_reduced_regions=False, max_iterations=60,
+        bicgstab_fallback=False, tolerance=1e-3, use_pallas=False,
+    )
+    state = seed_particles(grid, scene.surface_sdf, max_particles=1 << 13, seed=0)
+    n_alive = float(jnp.sum(state.alive))
+    assert n_alive > 100
+    for _ in range(2):
+        scene, state, stats = flip_frame(grid, scene, state, params, gravity=-9.8)
+    for a in range(3):
+        assert np.isfinite(np.asarray(scene.velocity[a])).all()
+    pos = np.asarray(state.pos)
+    assert (pos >= 0.0).all() and (pos <= 16.0).all()
+    phi = np.asarray(scene.surface_sdf)
+    assert (phi < 0).any() and (phi > 0).any()
+    # gravity pulls the blob down: mean particle z decreases
+    z0 = seed_particles(grid, jelly_jam(n=16, dtype=jnp.float32)[1].surface_sdf, 1 << 13, seed=0)
+    alive = np.asarray(state.alive) > 0
+    assert pos[alive, 2].mean() < np.asarray(z0.pos)[np.asarray(z0.alive) > 0, 2].mean() + 1e-3

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--segment", type=int, default=2000)
     ap.add_argument("--max-iters", type=int, default=20000)
     ap.add_argument("--no-fuse-pap", action="store_true")
+    ap.add_argument("--fuse-update", action="store_true")
     ap.add_argument("--precond", default="cell_arrow")
     args = ap.parse_args()
 
@@ -53,6 +54,7 @@ def main():
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
         deflation=args.deflation, fuse_pap=not args.no_fuse_pap,
+        fuse_update=args.fuse_update,
     )
     grid, scene = honey_coil(n=args.n, dtype=jnp.float32)
     params = check_pallas(grid, scene, params)

@@ -124,6 +124,12 @@ class SolverParams:
     # use the fused apply+<p,Ap> kernels inside CG (packed path only);
     # set False to fall back to separate apply + tree_dot
     fuse_pap: bool = True
+    # fuse the CG vector update (axpys + pointwise preconditioner + loop
+    # dots) into one Pallas kernel (packed path; identity/diagonal/
+    # cell_arrow preconditioners; ignored under deflation, whose
+    # preconditioner applies the operator). Default off until validated
+    # on hardware per-config.
+    fuse_update: bool = False
 
     # -- multigrid preconditioner knobs (multigrid.py; TPU-native addition)
     mg_levels: int = 5  # max levels incl. finest

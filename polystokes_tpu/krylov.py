@@ -83,7 +83,7 @@ def pcg_init(apply_A: Callable, b, x0, precond: Callable = None) -> PCGCarry:
     return PCGCarry(x=x0, r=r, p=p, rsold=rsold, k=jnp.int32(0), rre=rre0, done=trivially_done)
 
 
-def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, segment_iters: int = None, apply_dot: Callable = None) -> PCGCarry:
+def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, segment_iters: int = None, apply_dot: Callable = None, fused_update: Callable = None) -> PCGCarry:
     """Run at most `segment_iters` PCG iterations (all of them if None),
     stopping early on convergence or at `max_iters` total.  Chaining
     segments is bit-identical to one monolithic loop (the loop body is
@@ -91,7 +91,13 @@ def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, to
 
     `apply_dot(p) -> (A p, <p, A p>)`, when given, replaces the separate
     apply + tree_dot — the fused Pallas apply emits the pAp partials from
-    its own blocks, removing one full-vector read per iteration."""
+    its own blocks, removing one full-vector read per iteration.
+
+    `fused_update(x, r, p, Ap, alpha) -> (x', r', z, <r',r'>, <x',x'>,
+    <r',z>)`, when given, replaces the two axpys, the preconditioner
+    application, and the three loop dots with one pointwise kernel
+    (pallas_apply.cg_update_packed); `precond` is then unused inside the
+    loop (the kernel owns it)."""
     if precond is None:
         precond = lambda r: r
     if segment_iters is None:
@@ -110,14 +116,17 @@ def pcg_segment(apply_A: Callable, carry: PCGCarry, precond: Callable = None, to
             Ap = apply_A(p)
             pAp = tree_dot(p, Ap)
         alpha = rsold / jnp.where(pAp != 0, pAp, 1.0)
-        x = tree_axpy(alpha, p, x)
-        r = tree_axpy(-alpha, Ap, r)
-        rsnew_rr = tree_dot(r, r)
-        xmag = tree_dot(x, x)
+        if fused_update is not None:
+            x, r, z, rsnew_rr, xmag, rs = fused_update(x, r, p, Ap, alpha)
+        else:
+            x = tree_axpy(alpha, p, x)
+            r = tree_axpy(-alpha, Ap, r)
+            rsnew_rr = tree_dot(r, r)
+            xmag = tree_dot(x, x)
+            z = precond(r)
+            rs = tree_dot(r, z)
         rre = _rre(rsnew_rr, xmag)
         done = rre < tol * tol
-        z = precond(r)
-        rs = tree_dot(r, z)
         beta = rs / rsold
         p = tree_axpy(beta, p, z)
         return PCGCarry(x=x, r=r, p=p, rsold=rs, k=st.k + 1, rre=rre, done=done)
@@ -130,14 +139,14 @@ def pcg_result(carry: PCGCarry) -> KrylovResult:
     return KrylovResult(x=carry.x, iterations=iters, error=jnp.sqrt(carry.rre), converged=carry.done)
 
 
-def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, apply_dot: Callable = None):
+def pcg(apply_A: Callable, b, x0, precond: Callable = None, tol: float = 1e-3, max_iters: int = 5000, apply_dot: Callable = None, fused_update: Callable = None):
     """Preconditioned CG, semantics of pcg_external_matrix_A (pcg.h:269-340).
 
     Returns iteration index at convergence (0-based, like the reference's
     `return i`), or max_iters when not converged.
     """
     carry = pcg_init(apply_A, b, x0, precond)
-    carry = pcg_segment(apply_A, carry, precond, tol=tol, max_iters=max_iters, apply_dot=apply_dot)
+    carry = pcg_segment(apply_A, carry, precond, tol=tol, max_iters=max_iters, apply_dot=apply_dot, fused_update=fused_update)
     return pcg_result(carry)
 
 

@@ -727,6 +727,117 @@ def finish_pap_packed(xp, coeffs_padded, out_grid, up, res, interpret=None):
     )(xp, coeffs_padded, out_grid, _pad_halo(up))
 
 
+# ---------------------------------------------------------------------------
+# Fused CG update: x' = x + a p, r' = r - a Ap, z = M^-1 r', and the three
+# loop dots (<r',r'>, <x',x'>, <r',z>) — one pointwise kernel replacing two
+# axpys, the preconditioner pass, and three separate reductions (~6 HBM
+# sweeps per iteration -> 1).  The preconditioners that qualify are
+# pointwise in the packed layout: identity, Jacobi diagonal, CELL_ARROW.
+# ---------------------------------------------------------------------------
+
+# arrow factor channel layout for pack_arrow_factors
+_ARROW_KD = 0  # +a
+_ARROW_SCHUR = 3
+_ARROW_K = 4  # +a
+_ARROW_INVD = 7  # +a
+_ARROW_TEINV = 10  # +e
+N_ARROW = 13
+
+
+def pack_arrow_factors(factors: dict) -> jnp.ndarray:
+    """precond_factors_packed dict -> [13, nx, ny, nz] channel stack."""
+    chans = list(factors["kd"]) + [factors["inv_schur"]] + list(factors["k"])
+    chans += list(factors["inv_d"]) + list(factors["te_inv_s"])
+    return jnp.stack(chans, axis=0)
+
+
+def _make_cg_update_kernel(kind):
+    def kernel(*refs):
+        if kind == "none":
+            al, xr, rr_, pr, apr, xo, ro, zo, part = refs
+            fr = None
+        else:
+            al, xr, rr_, pr, apr, fr, xo, ro, zo, part = refs
+        a = al[0]
+        xs = [xr[c] + a * pr[c] for c in range(7)]
+        rs = [rr_[c] - a * apr[c] for c in range(7)]
+        if kind == "arrow":
+            z_p = (rs[0] + sum(fr[_ARROW_KD + i] * rs[1 + i] for i in range(3))) * fr[_ARROW_SCHUR]
+            zs = [z_p]
+            zs += [(rs[1 + i] + fr[_ARROW_K + i] * z_p) * fr[_ARROW_INVD + i] for i in range(3)]
+            zs += [rs[4 + e] * fr[_ARROW_TEINV + e] for e in range(3)]
+        elif kind == "diag":
+            zs = [fr[c] * rs[c] for c in range(7)]
+        else:
+            zs = rs
+        acc_rr = acc_xx = acc_rz = None
+        for c in range(7):
+            xo[c] = xs[c]
+            ro[c] = rs[c]
+            zo[c] = zs[c]
+            t_rr = jnp.sum(rs[c] * rs[c])
+            t_xx = jnp.sum(xs[c] * xs[c])
+            t_rz = jnp.sum(rs[c] * zs[c])
+            acc_rr = t_rr if acc_rr is None else acc_rr + t_rr
+            acc_xx = t_xx if acc_xx is None else acc_xx + t_xx
+            acc_rz = t_rz if acc_rz is None else acc_rz + t_rz
+        i, j = pl.program_id(0), pl.program_id(1)
+        part[0, i, j] = acc_rr
+        part[1, i, j] = acc_xx
+        part[2, i, j] = acc_rz
+
+    return kernel
+
+
+def cg_update_packed(xp, rp, pp, app, alpha, factors=None, kind="none", interpret=None):
+    """(x', r', z, rr, xx, rz): the fused CG vector update (see above).
+    `alpha` is a traced scalar; `factors` is the packed preconditioner
+    stack ([13,...] arrow / [7,...] diagonal inverse / None)."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = xp.shape[-3:]
+    bx, by = _blocks_for((nx, ny, nz))
+    grid = (nx // bx, ny // by)
+    dtype = xp.dtype
+
+    def plain_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    scalar_spec = pl.BlockSpec(
+        (1,), lambda i, j: (0,),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    part_spec = pl.BlockSpec(
+        (3, grid[0], grid[1]), lambda i, j: (0, 0, 0),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    ins = [jnp.reshape(alpha.astype(dtype), (1,)), xp, rp, pp, app]
+    in_specs = [scalar_spec] + [plain_spec(7)] * 4
+    if kind == "arrow":
+        ins.append(factors)
+        in_specs.append(plain_spec(N_ARROW))
+    elif kind == "diag":
+        ins.append(factors)
+        in_specs.append(plain_spec(7))
+    xo, ro, zo, part = pl.pallas_call(
+        _make_cg_update_kernel(kind),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[plain_spec(7), plain_spec(7), plain_spec(7), part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((3, grid[0], grid[1]), dtype),
+        ],
+        interpret=interpret,
+    )(*ins)
+    sums = jnp.sum(part, axis=(1, 2))
+    return xo, ro, zo, sums[0], sums[1], sums[2]
+
+
 def pallas_compatible(grid_res, params) -> bool:
     """Static check for the packed kernel path: x/y divisible by the block
     size, and (when reduced) the tile size dividing the block and every

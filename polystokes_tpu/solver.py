@@ -483,6 +483,35 @@ def precond_factors_packed(grid: Grid, cls: Classification, asm: Assembled, para
     return dict(inv_packed=pack_ptau(jax.tree.map(_safe_inv, d)))
 
 
+def make_fused_update(grid: Grid, params: SolverParams, factors=None):
+    """The fused CG vector-update callable (pallas_apply.cg_update_packed)
+    when params allow it on this path, else None.  Qualifying
+    preconditioners are pointwise in the packed layout; deflation wraps
+    the preconditioner with an operator apply, so it disqualifies."""
+    if not (params.fuse_update and _use_packed(grid, params)):
+        return None
+    if params.deflation:
+        return None
+    from .pallas_apply import cg_update_packed, pack_arrow_factors
+
+    if params.preconditioner == PreconditionerType.CELL_ARROW:
+        fstack = pack_arrow_factors(factors)
+        kind = "arrow"
+    elif params.preconditioner == PreconditionerType.DIAGONAL:
+        fstack = factors["inv_packed"]
+        kind = "diag"
+    elif params.preconditioner == PreconditionerType.IDENTITY:
+        fstack = None
+        kind = "none"
+    else:
+        return None
+
+    def fused(x, r, p, ap, alpha):
+        return cg_update_packed(x, r, p, ap, alpha, factors=fstack, kind=kind)
+
+    return fused
+
+
 def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, factors=None):
     """Packed-layout preconditioners (identity / Jacobi / arrow).  Pass
     `factors` (precond_factors_packed) to reuse setup across jitted
@@ -692,14 +721,16 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
 
         apply_K = make_apply_packed(grid, cls, asm, params, R)
         apply_dot = make_apply_packed_pap(grid, cls, asm, params, R) if params.fuse_pap else None
-        precond = make_preconditioner_packed(grid, cls, asm, params)
+        pfac = precond_factors_packed(grid, cls, asm, params)
+        fused_update = make_fused_update(grid, params, pfac)
+        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         b_K, x0_K = pack_ptau(b), pack_ptau(x0)
         if defl is not None:
             from .deflation import deflate_guess_packed, deflated_precond_packed
 
             x0_K = deflate_guess_packed(defl, apply_K, b_K, x0_K)
             precond = deflated_precond_packed(defl, apply_K, base=precond)
-        return apply_K, apply_dot, precond, b_K, x0_K, True
+        return apply_K, apply_dot, fused_update, precond, b_K, x0_K, True
     from .precond import make_preconditioner
 
     apply_K = make_apply(grid, cls, asm, params, R)
@@ -709,13 +740,13 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
 
         x0 = deflate_guess_ptau(defl, apply_K, b, x0)
         precond = deflated_precond_ptau(defl, apply_K, base=precond)
-    return apply_K, None, precond, b, x0, False
+    return apply_K, None, None, precond, b, x0, False
 
 
 @partial(jax.jit, static_argnames=("grid", "params"))
 @precise_matmul
 def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None):
-    apply_K, _apply_dot, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
+    apply_K, _apply_dot, _fused_update, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
     return krylov.pcg_init(apply_K, b_K, x0_K, precond)
 
 
@@ -725,10 +756,12 @@ def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_it
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
     apply_dot = None
+    fused_update = None
     if packed:
         apply_K = make_apply_packed(grid, cls, asm, params, R)
         if params.fuse_pap:
             apply_dot = make_apply_packed_pap(grid, cls, asm, params, R)
+        fused_update = make_fused_update(grid, params, pfac)
         precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         if defl is not None:
             from .deflation import deflated_precond_packed
@@ -746,7 +779,7 @@ def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_it
     return krylov.pcg_segment(
         apply_K, carry, precond, tol=params.tolerance,
         max_iters=params.max_iterations, segment_iters=segment_iters,
-        apply_dot=apply_dot,
+        apply_dot=apply_dot, fused_update=fused_update,
     )
 
 
@@ -897,13 +930,13 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     # pack before and one unpack after (pallas_apply.py); the device
     # warm-start guess (constructGuessVectors, Solver.cpp:521-531) is
     # built inside _build_krylov_system
-    apply_K, apply_dot, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
+    apply_K, apply_dot, fused_update, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
     if packed:
         from .pallas_apply import unpack_ptau
 
     if params.do_solve:
         if params.solver_type == SolverType.PCG_MATRIX_VECTOR_PRODUCTS:
-            res = krylov.pcg(apply_K, b_K, x0_K, precond=precond, tol=params.tolerance, max_iters=params.max_iterations, apply_dot=apply_dot)
+            res = krylov.pcg(apply_K, b_K, x0_K, precond=precond, tol=params.tolerance, max_iters=params.max_iterations, apply_dot=apply_dot, fused_update=fused_update)
             if params.bicgstab_fallback:
                 def _fallback(_):
                     return krylov.bicgstab(apply_K, b_K, x0_K, tol=params.tolerance, max_iters=params.max_iterations)

@@ -188,3 +188,71 @@ def test_boundary_active_stat():
     params2 = params2.replace(dtype=jnp.float32, max_iterations=5, bicgstab_fallback=False)
     _, _, stats2 = step(grid2, scene2, params2)
     assert int(stats2["boundary_active"]) > 0
+
+
+@pytest.mark.parametrize("kind", ["none", "diag", "arrow"])
+def test_cg_update_kernel_matches_manual(kind):
+    """cg_update_packed == the unfused axpys + pointwise preconditioner +
+    three dots, for each qualifying preconditioner kind."""
+    import jax.numpy as jnp
+
+    from polystokes_tpu.pallas_apply import cg_update_packed, pack_arrow_factors
+    from polystokes_tpu.solver import make_preconditioner_packed, precond_factors_packed
+    from polystokes_tpu.config import PreconditionerType
+
+    grid, params, scene, cls, asm, R = _make(True)
+    rng = np.random.default_rng(5)
+    shape = (7,) + tuple(grid.res)
+    x, r, p, ap = (jnp.asarray(rng.standard_normal(shape), params.dtype) for _ in range(4))
+    alpha = jnp.asarray(0.37, params.dtype)
+
+    if kind == "arrow":
+        params = params.replace(preconditioner=PreconditionerType.CELL_ARROW)
+        pfac = precond_factors_packed(grid, cls, asm, params)
+        fstack = pack_arrow_factors(pfac)
+        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
+    elif kind == "diag":
+        params = params.replace(preconditioner=PreconditionerType.DIAGONAL)
+        pfac = precond_factors_packed(grid, cls, asm, params)
+        fstack = pfac["inv_packed"]
+        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
+    else:
+        fstack, precond = None, (lambda v: v)
+
+    xo, ro, zo, rr, xx, rz = cg_update_packed(x, r, p, ap, alpha, factors=fstack, kind=kind)
+    x_ref = x + alpha * p
+    r_ref = r - alpha * ap
+    z_ref = precond(r_ref)
+
+    def close(a, b, tol=1e-5):
+        s = max(float(jnp.max(jnp.abs(b))), 1.0)
+        assert float(jnp.max(jnp.abs(a - b))) < tol * s
+
+    close(xo, x_ref)
+    close(ro, r_ref)
+    close(zo, z_ref)
+    for got, ref in ((rr, jnp.sum(r_ref * r_ref)), (xx, jnp.sum(x_ref * x_ref)), (rz, jnp.sum(r_ref * z_ref))):
+        assert abs(float(got) - float(ref)) < 1e-4 * max(abs(float(ref)), 1.0)
+
+
+@pytest.mark.parametrize("pc", ["cell_arrow", "identity"])
+def test_fused_update_step_matches_unfused(pc):
+    """Full packed step with fuse_update on == off (iterations within
+    fp-noise, same velocities)."""
+    from polystokes_tpu import step
+    from polystokes_tpu.config import PreconditionerType
+
+    grid, params, scene, cls, asm, R = _make(True)
+    params = params.replace(
+        use_pallas=True, max_iterations=2000, bicgstab_fallback=False, tolerance=1e-5,
+        preconditioner=PreconditionerType(pc),
+    )
+    if pc == "identity":
+        params = params.replace(max_iterations=4000)
+    v0, _, s0 = step(grid, scene, params.replace(fuse_update=False))
+    v1, _, s1 = step(grid, scene, params.replace(fuse_update=True))
+    assert bool(s0["converged"]) and bool(s1["converged"])
+    assert abs(int(s1["iterations"]) - int(s0["iterations"])) <= 3
+    scale = max(float(jnp.max(jnp.abs(v0[0]))), 1e-8)
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v0[a]), atol=2e-4 * scale)

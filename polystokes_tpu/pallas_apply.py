@@ -128,10 +128,18 @@ def unpack_ptau(packed: jnp.ndarray) -> PTau:
     )
 
 
-def pack_coeffs(asm, cls=None) -> jnp.ndarray:
+def pack_coeffs(asm, cls=None, storage_dtype=None) -> jnp.ndarray:
     """Assembled -> [17, nx+2Hx, ny+2Hy, nz] pre-scaled, pre-halo-padded
     coefficient stack (built once per step, reused every iteration).  The
-    last 3 channels are the reduced-face masks (zero when cls is None)."""
+    last 3 channels are the reduced-face masks (zero when cls is None).
+
+    `storage_dtype=jnp.bfloat16` halves the stack's per-iteration HBM
+    traffic.  This keeps the operator exactly symmetric (the forward and
+    transpose sides read the SAME rounded values) and SPD (gated weights
+    stay nonnegative); it perturbs the operator by the bf16 rounding of
+    each coefficient (~0.4% relative), which shifts iteration counts
+    slightly but not the solved system's tolerance semantics — kernel
+    arithmetic stays f32 (jnp promotes bf16*f32)."""
     from .classify import REDUCED
 
     chans = [asm.clw_s]
@@ -147,7 +155,10 @@ def pack_coeffs(asm, cls=None) -> jnp.ndarray:
         else:
             red = (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)
             chans.append(_face_to_slot(red.astype(dtype), a))
-    return _pad_halo(jnp.stack(chans, axis=0))
+    stack = jnp.stack(chans, axis=0)
+    if storage_dtype is not None:
+        stack = stack.astype(storage_dtype)
+    return _pad_halo(stack)
 
 
 def _pad_halo(x):

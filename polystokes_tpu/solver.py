@@ -395,7 +395,8 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
     )
 
     reduced = params.do_reduced_regions
-    coeffs = pack_coeffs(asm, cls if reduced else None)
+    storage = jnp.bfloat16 if params.coeff_bf16 else None
+    coeffs = pack_coeffs(asm, cls if reduced else None, storage_dtype=storage)
     if not reduced:
 
         def apply_uniform(xp):
@@ -431,7 +432,8 @@ def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, param
     )
 
     reduced = params.do_reduced_regions
-    coeffs = pack_coeffs(asm, cls if reduced else None)
+    storage = jnp.bfloat16 if params.coeff_bf16 else None
+    coeffs = pack_coeffs(asm, cls if reduced else None, storage_dtype=storage)
     if not reduced:
 
         def apply_dot_uniform(xp):

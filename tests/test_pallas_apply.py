@@ -256,3 +256,29 @@ def test_fused_update_step_matches_unfused(pc):
     scale = max(float(jnp.max(jnp.abs(v0[0]))), 1e-8)
     for a in range(3):
         np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v0[a]), atol=2e-4 * scale)
+
+
+def test_coeff_bf16_close_and_symmetric():
+    """bf16 coefficient storage: the packed apply stays within the bf16
+    coefficient rounding of the f32 operator, and remains exactly
+    self-adjoint over the DOF masks (forward and transpose read the SAME
+    rounded values)."""
+    from polystokes_tpu.deflation import packed_masks
+    from polystokes_tpu.solver import make_apply_packed
+
+    grid, params, scene, cls, asm, R = _make(True)
+    pparams = params.replace(use_pallas=True)
+    rng = np.random.default_rng(9)
+    m = packed_masks(grid, cls, params.dtype)
+    xp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), params.dtype) * m
+    yp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), params.dtype) * m
+
+    A32 = make_apply_packed(grid, cls, asm, pparams, R)
+    A16 = make_apply_packed(grid, cls, asm, pparams.replace(coeff_bf16=True), R)
+    ax32, ax16 = A32(xp), A16(xp)
+    scale = float(jnp.max(jnp.abs(ax32)))
+    assert float(jnp.max(jnp.abs(ax32 - ax16))) < 0.03 * scale  # bf16 rounding
+    # exact symmetry of the bf16-coefficient operator
+    lhs = float(jnp.sum(yp * ax16))
+    rhs = float(jnp.sum(xp * A16(yp)))
+    assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0)

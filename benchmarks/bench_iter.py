@@ -61,14 +61,19 @@ def main(n=128, iters=100):
         # not giant HLO constants (the remote compile service rejects those)
         from polystokes_tpu.precision import precise_matmul
 
-        f = jax.jit(precise_matmul(fn))
-        out = f(cls, asm, *args)
-        jax.block_until_ready(out)
+        # a scalar host fetch forces the full device round trip (on the
+        # axon remote platform block_until_ready alone can return before
+        # the execution has drained)
+        def reduced(*a):
+            out = fn(*a)
+            return jax.tree.map(lambda t: jnp.sum(t), out)
+
+        f = jax.jit(precise_matmul(reduced))
+        _ = jax.tree.map(float, f(cls, asm, *args))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            out = f(cls, asm, *args)
-            jax.block_until_ready(out)
+            _ = jax.tree.map(float, f(cls, asm, *args))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:28s} {best/iters*1e3:7.3f} ms/iter   ({best:.3f}s / {iters})", flush=True)
         return best / iters

@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--ritz", type=int, default=0,
                     help="with --cg: run this many iterations and print the Lanczos "
                     "Ritz-value histogram of M^-1(-A) (spectrum shape comparison)")
+    ap.add_argument("--no-qred", action="store_true",
+                    help="build the arrow M WITHOUT the reduced-coupling diagonal "
+                    "q_red — tests whether folding the J^T BInv J diagonal into M "
+                    "smears the coupling's near-null cluster (identity treatment of "
+                    "the coupling keeps the cluster at the mass value)")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +104,10 @@ def main():
     print(f"n = {n} ({nP} p + {nS} tau), regions = {int(cls.n_regions)}", flush=True)
 
     # ---- explicit arrow M in the packed layout
-    k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
+    import dataclasses as _dc
+
+    m_params = _dc.replace(params, do_reduced_regions=False) if args.no_qred else params
+    k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, m_params)
     k = [np.asarray(x) for x in k]
     h = np.asarray(0.5 * asm.uinv_c)
     cell_m = np.asarray(ops.cell_idx >= 0)
@@ -138,6 +146,13 @@ def main():
     if sing.any():
         print(f"regularizing {int(sing.sum())} zero-coupling p rows in M")
         M = M + sp.csr_matrix((np.where(sing, 1.0, 0.0), (pid, pid)), shape=(n, n))
+
+    if args.woodbury == "exact" and not args.cg:
+        # eigen-anatomy of the exactly-coupling-corrected preconditioner:
+        # M_full = arrow + U^T BInv U (explicit, region-local sparse)
+        U_ = sp.hstack([ops.JG().tocsr(), ops.JDt().tocsr()]).tocsr()
+        M = (M + (U_.T @ ops.BInv() @ U_)).tocsr()
+        print("eigs against M = arrow + U^T BInv U (exact coupling)")
 
     if args.cg:
         # exact-arithmetic arrow-preconditioned CG on the explicit system:

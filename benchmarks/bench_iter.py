@@ -143,6 +143,23 @@ def main(n=128, iters=100):
 
     timeit("full PCG iteration", full, pfac, xp)
 
+    def full_fused(cls, asm, pf, x, p2=None):
+        from polystokes_tpu.solver import make_fused_update
+
+        p2 = p2 or params.replace(fuse_update=True)
+        apply_K = make_apply_packed(grid, cls, asm, p2, R)
+        fused_update = make_fused_update(grid, p2, pf, cls=cls, asm=asm)
+        apply_dot = make_apply_packed_pap(grid, cls, asm, p2, R, defer_finish=True)
+        res = krylov.pcg(apply_K, x, jnp.zeros_like(x), tol=0.0, max_iters=iters, apply_dot=apply_dot, fused_update=fused_update)
+        return res.x
+
+    timeit("full PCG iter (fused upd)", full_fused, pfac, xp)
+
+    def full_fused_bf16(cls, asm, pf, x):
+        return full_fused(cls, asm, pf, x, p2=params.replace(fuse_update=True, coeff_bf16=True))
+
+    timeit("full PCG iter (fused+bf16)", full_fused_bf16, pfac, xp)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)

@@ -17,6 +17,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--deflation", action="store_true")
     ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--scene", default="honey_coil",
+                    help="any scenes.builders name (jelly_jam / armadillo_melt / "
+                    "honey_coil ... — the reference's A/B scenes)")
+    ap.add_argument("--uniform", action="store_true", help="reduced regions OFF (A/B baseline)")
+    ap.add_argument("--warm", action="store_true",
+                    help="reference-default warm start (useWarmStart is ON by default "
+                    "in the reference, HDK_PolyStokes.C:194; guess p = -G^T v - JG^T w "
+                    "from the input velocity, Solver.cpp:521-531)")
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--segment", type=int, default=2000)
     ap.add_argument("--max-iters", type=int, default=20000)
@@ -46,17 +54,18 @@ def main():
 
     from polystokes_tpu import SolverParams
     from polystokes_tpu.config import PreconditionerType
-    from polystokes_tpu.scenes.builders import honey_coil
+    from polystokes_tpu.scenes import builders
     from polystokes_tpu.solver import check_pallas, solve_chunked
 
     params = SolverParams(
-        do_reduced_regions=True, do_tile=True, tile_size=args.tile, tile_padding=2,
+        do_reduced_regions=not args.uniform, do_tile=True, tile_size=args.tile, tile_padding=2,
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
         deflation=args.deflation, fuse_pap=not args.no_fuse_pap,
         fuse_update=args.fuse_update,
+        use_warm_start=args.warm, device_warm_start=args.warm,
     )
-    grid, scene = honey_coil(n=args.n, dtype=jnp.float32)
+    grid, scene = getattr(builders, args.scene)(n=args.n, dtype=jnp.float32)
     params = check_pallas(grid, scene, params)
 
     # warm-up/compile pass (chunked so each device call stays bounded)
@@ -68,7 +77,7 @@ def main():
     step_s = time.perf_counter() - t0
     it = int(stats["iterations"])
     print(json.dumps({
-        "config": f"defl128_n{args.n}_defl{int(args.deflation)}",
+        "config": f"{args.scene}_n{args.n}_{'uni' if args.uniform else f'tile{args.tile}'}_defl{int(args.deflation)}{'_warm' if args.warm else ''}",
         "iterations": it,
         "error": float(stats["error"]),
         "converged": bool(stats["converged"]),

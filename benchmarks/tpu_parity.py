@@ -36,7 +36,7 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run_case(scene_name, n, tile, reduced):
+def run_case(scene_name, n, tile, reduced, fused_check=False):
     from polystokes_tpu import SolverParams
     from polystokes_tpu.classify import classify, effective_max_regions
     from polystokes_tpu.pallas_apply import pack_ptau, unpack_ptau
@@ -88,6 +88,27 @@ def run_case(scene_name, n, tile, reduced):
         "fused_pap_vs_xla_max_rel": float(np.max(np.abs(y_fused - y_ref))) / scale,
         "pap_rel_err": abs(float(pap) - pap_ref) / max(abs(pap_ref), 1e-30),
     }
+
+    if fused_check:
+        # end-to-end fused finish+update path: a 25-iteration capped solve
+        # with fuse_update on vs off must agree on hardware (exercises
+        # finish_update_packed / cg_update_packed incl. the -sum(mom*v)
+        # pAp identity inside the live CG loop)
+        from polystokes_tpu import step
+        from polystokes_tpu.config import PreconditionerType
+
+        pc = params.replace(
+            max_iterations=25, bicgstab_fallback=False, keep_non_converged=True,
+            preconditioner=PreconditionerType.CELL_ARROW,
+        )
+        v0, _, s0 = step(grid, scene, pc.replace(fuse_update=False))
+        v1, _, s1 = step(grid, scene, pc.replace(fuse_update=True))
+        vs = max(float(np.max(np.abs(np.asarray(v0[0])))), 1e-30)
+        rec["fused_update_vel_max_rel"] = max(
+            float(np.max(np.abs(np.asarray(v1[a]) - np.asarray(v0[a])))) for a in range(3)
+        ) / vs
+        e0, e1 = float(s0["error"]), float(s1["error"])
+        rec["fused_update_err_rel"] = abs(e1 - e0) / max(e0, 1e-30)
     return rec
 
 
@@ -99,20 +120,25 @@ def main():
 
     dev = jax.devices()[0]
     cases = []
-    for scene, n, tile, reduced in [
-        ("honey_coil", args.n, 8, True),
-        ("honey_coil", args.n, 8, False),
-        ("jelly_jam", 32, 8, True),
-        ("honey_coil", 128, 16, True),
+    for scene, n, tile, reduced, fused_check in [
+        ("honey_coil", args.n, 8, True, True),
+        ("honey_coil", args.n, 8, False, False),
+        ("jelly_jam", 32, 8, True, False),
+        ("honey_coil", 128, 16, True, True),
     ]:
         print(f"case {scene} n={n} tile={tile} reduced={reduced} ...", flush=True)
-        rec = run_case(scene, n, tile, reduced)
+        rec = run_case(scene, n, tile, reduced, fused_check=fused_check)
         print("  ", rec, flush=True)
         cases.append(rec)
 
     ok = all(
         c.get("skipped")
-        or (c["packed_vs_xla_max_rel"] < 1e-4 and c["fused_pap_vs_xla_max_rel"] < 1e-4 and c["pap_rel_err"] < 1e-3)
+        or (
+            c["packed_vs_xla_max_rel"] < 1e-4
+            and c["fused_pap_vs_xla_max_rel"] < 1e-4
+            and c["pap_rel_err"] < 1e-3
+            and c.get("fused_update_vel_max_rel", 0.0) < 5e-3
+        )
         for c in cases
     )
     payload = {"device": str(dev), "backend": jax.default_backend(), "ok": ok, "cases": cases}

@@ -308,7 +308,9 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
     cs2 = nz // T
 
     def kernel(red_ref, v_ref, u_ref):
-        dtype = red_ref.dtype
+        # compute dtype comes from the coefficients: the red mask may be
+        # stored bf16 (exact 0/1 values) to halve its read traffic
+        dtype = v_ref.dtype
         j_sub = jax.lax.rem(pl.program_id(1), jnp.int32(ypb)) if ypb > 1 else None
         zi = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 1)
         ci = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 0)
@@ -624,20 +626,18 @@ def _grid_uniform_pap_kernel(xr, cr, out_ref, pap_ref):
     pap_ref[pl.program_id(0), pl.program_id(1)] = acc
 
 
-def _finish_kernel(xr, c4r, gr, ur, out_ref, pap_ref):
-    """out = out_grid + [G Dt]^T(-u); pap partial += <x, that term>.
-    xr / gr are plain interior blocks (unpadded arrays); c4r / ur are halo
-    windows of the padded coeff (first 4 channels) and u stacks."""
+def _finish_kernel(c4r, gr, ur, out_ref):
+    """out = out_grid + [G Dt]^T(-u).  gr is a plain interior block; c4r /
+    ur are halo windows of the padded coeff (first 4 channels) and u
+    stacks.  The u-branch pAp contribution is NOT computed here: it equals
+    -sum(mom * v) in the per-cube coefficient space (<x, F^T(-chi J v)> =
+    -<chi F x, J v> = -sum_k mom_k v_k, same cube-origin basis on both
+    sides), which the caller evaluates on the tiny moment arrays."""
     w = [-ur[a] for a in range(3)]
     contrib = _transpose_contrib(c4r, w)
     itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
-    acc = None
     for c in range(7):
-        ci = contrib[c][itr]
-        out_ref[c] = gr[c] + ci
-        t = jnp.sum(xr[c] * ci)
-        acc = t if acc is None else acc + t
-    pap_ref[pl.program_id(0), pl.program_id(1)] = acc
+        out_ref[c] = gr[c] + contrib[c][itr]
 
 
 def _pap_spec(interpret, nbx, nby):
@@ -704,9 +704,11 @@ def apply_uniform_pap_packed(xp, coeffs_padded, res, interpret=None):
     )(_pad_halo(xp), coeffs_padded)
 
 
-def finish_pap_packed(xp, coeffs_padded, out_grid, up, res, interpret=None):
-    """(out, pap_u_partials): add the reduced-branch transpose of u to
-    out_grid; partials sum to <x, that contribution>."""
+def finish_packed(coeffs_padded, out_grid, up, res, interpret=None):
+    """out = out_grid + [G Dt]^T(-u) — the reduced-branch transpose.  The
+    pAp contribution of this branch is -sum(mom * v) (see _finish_kernel),
+    evaluated by the caller on the tiny per-cube arrays, so this pass no
+    longer reads x."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
     bx, by = _blocks_for(res)
@@ -728,14 +730,117 @@ def finish_pap_packed(xp, coeffs_padded, out_grid, up, res, interpret=None):
     return pl.pallas_call(
         _finish_kernel,
         grid=grid,
-        in_specs=[plain_spec(7), halo_spec(4), plain_spec(7), halo_spec(3)],
-        out_specs=[plain_spec(7), _pap_spec(interpret, nx // bx, ny // by)],
+        in_specs=[halo_spec(4), plain_spec(7), halo_spec(3)],
+        out_specs=plain_spec(7),
+        out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), out_grid.dtype),
+        interpret=interpret,
+    )(coeffs_padded, out_grid, _pad_halo(up))
+
+
+def _make_finish_update_kernel(kind):
+    """Fused reduced-branch finish + CG vector update: computes
+    ap = out_grid + [G Dt]^T(-u) in-block (Ap is never materialized to
+    HBM), then x' = x + a p, r' = r - a ap, z = M^-1 r' and the three loop
+    dots — one pass replacing the former finish + cg_update pair."""
+
+    def kernel(*refs):
+        if kind == "none":
+            al, c4r, gr, ur, xr, rr_, pr, xo, ro, zo, part = refs
+            fr = None
+        else:
+            al, c4r, gr, ur, xr, rr_, pr, fr, xo, ro, zo, part = refs
+        a = al[0]
+        w = [-ur[ax] for ax in range(3)]
+        contrib = _transpose_contrib(c4r, w)
+        itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+        xs = [xr[c] + a * pr[c] for c in range(7)]
+        rs = [rr_[c] - a * (gr[c] + contrib[c][itr]) for c in range(7)]
+        if kind == "arrow":
+            z_p = (rs[0] + sum(fr[_ARROW_KD + i] * rs[1 + i] for i in range(3))) * fr[_ARROW_SCHUR]
+            zs = [z_p]
+            zs += [(rs[1 + i] + fr[_ARROW_K + i] * z_p) * fr[_ARROW_INVD + i] for i in range(3)]
+            zs += [rs[4 + e] * fr[_ARROW_TEINV + e] for e in range(3)]
+        elif kind == "diag":
+            zs = [fr[c] * rs[c] for c in range(7)]
+        else:
+            zs = rs
+        acc_rr = acc_xx = acc_rz = None
+        for c in range(7):
+            xo[c] = xs[c]
+            ro[c] = rs[c]
+            zo[c] = zs[c]
+            t_rr = jnp.sum(rs[c] * rs[c])
+            t_xx = jnp.sum(xs[c] * xs[c])
+            t_rz = jnp.sum(rs[c] * zs[c])
+            acc_rr = t_rr if acc_rr is None else acc_rr + t_rr
+            acc_xx = t_xx if acc_xx is None else acc_xx + t_xx
+            acc_rz = t_rz if acc_rz is None else acc_rz + t_rz
+        i, j = pl.program_id(0), pl.program_id(1)
+        part[0, i, j] = acc_rr
+        part[1, i, j] = acc_xx
+        part[2, i, j] = acc_rz
+
+    return kernel
+
+
+def finish_update_packed(xp, rp, pp, alpha, coeffs_padded, out_grid, up, factors=None, kind="none", interpret=None):
+    """(x', r', z, rr, xx, rz): the fused finish+update (see
+    _make_finish_update_kernel).  `out_grid` + expanded `up` stand in for
+    Ap; `alpha` must already include the reduced pAp term (-sum(mom*v))."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = xp.shape[-3:]
+    bx, by = _blocks_for((nx, ny, nz))
+    grid = (nx // bx, ny // by)
+    dtype = xp.dtype
+
+    def halo_spec(c):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
+            lambda i, j: (0, i * bx, j * by, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    def plain_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    scalar_spec = pl.BlockSpec(
+        (1,), lambda i, j: (0,),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    part_spec = pl.BlockSpec(
+        (3, grid[0], grid[1]), lambda i, j: (0, 0, 0),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    ins = [jnp.reshape(alpha.astype(dtype), (1,)), coeffs_padded, out_grid, _pad_halo(up), xp, rp, pp]
+    in_specs = [scalar_spec, halo_spec(4), plain_spec(7), halo_spec(3), plain_spec(7), plain_spec(7), plain_spec(7)]
+    if kind == "arrow":
+        ins.append(factors)
+        in_specs.append(plain_spec(N_ARROW))
+    elif kind == "diag":
+        ins.append(factors)
+        in_specs.append(plain_spec(7))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    xo, ro, zo, part = pl.pallas_call(
+        _make_finish_update_kernel(kind),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[plain_spec(7), plain_spec(7), plain_spec(7), part_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
-            jax.ShapeDtypeStruct((nx // bx, ny // by), xp.dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((3, grid[0], grid[1]), dtype),
         ],
         interpret=interpret,
-    )(xp, coeffs_padded, out_grid, _pad_halo(up))
+        **kwargs,
+    )(*ins)
+    sums = jnp.sum(part, axis=(1, 2))
+    return xo, ro, zo, sums[0], sums[1], sums[2]
 
 
 # ---------------------------------------------------------------------------

@@ -365,6 +365,9 @@ def _region_algebra_packed(grid: Grid, cls: Classification, asm: Assembled, para
         ],
         axis=0,
     )
+    if params.coeff_bf16:
+        # 0/1 mask values are exact in bf16; halves the expand pass's read
+        red_packed = red_packed.astype(jnp.bfloat16)
 
     def algebra(mom):
         m = jnp.transpose(mom, (0, 1, 3, 2)).reshape(-1, 3, K)  # [nc, 3, K] raw
@@ -417,16 +420,19 @@ def make_apply_packed(grid: Grid, cls: Classification, asm: Assembled, params: S
     return apply_packed
 
 
-def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int, defer_finish: bool = False):
     """Fused apply returning (A x, <x, A x>): the grid branch, per-cube
     moments and the pAp block-partials run in ONE kernel (one read of the
-    x/coeff windows), the reduced transpose + its pAp contribution in a
-    second; the former separate moments pass and the CG dot disappear."""
+    x/coeff windows); the reduced-branch pAp term is the tiny-space dot
+    -sum(mom * v) (see pallas_apply._finish_kernel), so the finish pass no
+    longer reads x.  With `defer_finish` the finish kernel is skipped and
+    `A x` is returned as the (out_grid, up) pair for the fused
+    finish+update kernel to consume (Ap never round-trips through HBM)."""
     from .pallas_apply import (
         _pad_halo,
         apply_uniform_pap_packed,
         expand_packed,
-        finish_pap_packed,
+        finish_packed,
         grid_mom_pap_packed,
         pack_coeffs,
     )
@@ -450,8 +456,10 @@ def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, param
         out_grid, mom, pap1 = grid_mom_pap_packed(xpad, coeffs, grid.res, T, params.basis)
         v_arr = algebra(mom)
         up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
-        out, pap2 = finish_pap_packed(xp, coeffs, out_grid, up, grid.res)
-        return out, jnp.sum(pap1) + jnp.sum(pap2)
+        pap = jnp.sum(pap1) - jnp.sum(mom * v_arr)
+        if defer_finish:
+            return (out_grid, up), pap
+        return finish_packed(coeffs, out_grid, up, grid.res), pap
 
     return apply_dot
 
@@ -485,16 +493,21 @@ def precond_factors_packed(grid: Grid, cls: Classification, asm: Assembled, para
     return dict(inv_packed=pack_ptau(jax.tree.map(_safe_inv, d)))
 
 
-def make_fused_update(grid: Grid, params: SolverParams, factors=None):
+def make_fused_update(grid: Grid, params: SolverParams, factors=None, cls=None, asm=None):
     """The fused CG vector-update callable (pallas_apply.cg_update_packed)
     when params allow it on this path, else None.  Qualifying
     preconditioners are pointwise in the packed layout; deflation wraps
-    the preconditioner with an operator apply, so it disqualifies."""
+    the preconditioner with an operator apply, so it disqualifies.
+
+    When `cls`/`asm` are given (the reduced fuse_pap path), the returned
+    callable also accepts `ap` as the deferred (out_grid, up) pair from
+    make_apply_packed_pap(defer_finish=True) and runs the fused
+    finish+update kernel instead."""
     if not (params.fuse_update and _use_packed(grid, params)):
         return None
     if params.deflation:
         return None
-    from .pallas_apply import cg_update_packed, pack_arrow_factors
+    from .pallas_apply import cg_update_packed, finish_update_packed, pack_arrow_factors, pack_coeffs
 
     if params.preconditioner == PreconditionerType.CELL_ARROW:
         fstack = pack_arrow_factors(factors)
@@ -508,10 +521,24 @@ def make_fused_update(grid: Grid, params: SolverParams, factors=None):
     else:
         return None
 
+    coeffs = None
+    if cls is not None and asm is not None and params.do_reduced_regions:
+        storage = jnp.bfloat16 if params.coeff_bf16 else None
+        coeffs = pack_coeffs(asm, cls, storage_dtype=storage)
+
     def fused(x, r, p, ap, alpha):
+        if isinstance(ap, tuple):
+            og, up = ap
+            return finish_update_packed(x, r, p, alpha, coeffs, og, up, factors=fstack, kind=kind)
         return cg_update_packed(x, r, p, ap, alpha, factors=fstack, kind=kind)
 
     return fused
+
+
+def _defer_finish(grid: Grid, params: SolverParams, fused_update) -> bool:
+    """Whether apply_dot should return the deferred (out_grid, up) pair:
+    only when the fused finish+update kernel will consume it."""
+    return bool(params.do_reduced_regions and fused_update is not None)
 
 
 def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, factors=None):
@@ -722,9 +749,13 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
         from .pallas_apply import pack_ptau
 
         apply_K = make_apply_packed(grid, cls, asm, params, R)
-        apply_dot = make_apply_packed_pap(grid, cls, asm, params, R) if params.fuse_pap else None
         pfac = precond_factors_packed(grid, cls, asm, params)
-        fused_update = make_fused_update(grid, params, pfac)
+        fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
+        apply_dot = (
+            make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
+            if params.fuse_pap
+            else None
+        )
         precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         b_K, x0_K = pack_ptau(b), pack_ptau(x0)
         if defl is not None:
@@ -761,9 +792,9 @@ def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_it
     fused_update = None
     if packed:
         apply_K = make_apply_packed(grid, cls, asm, params, R)
+        fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
         if params.fuse_pap:
-            apply_dot = make_apply_packed_pap(grid, cls, asm, params, R)
-        fused_update = make_fused_update(grid, params, pfac)
+            apply_dot = make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
         precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         if defl is not None:
             from .deflation import deflated_precond_packed

@@ -21,6 +21,10 @@ def main():
                     help="any scenes.builders name (jelly_jam / armadillo_melt / "
                     "honey_coil ... — the reference's A/B scenes)")
     ap.add_argument("--uniform", action="store_true", help="reduced regions OFF (A/B baseline)")
+    ap.add_argument("--single", action="store_true",
+                    help="do_tile OFF: one large region per connected interior "
+                    "(the reference's untiled mode — fewest grid DOFs, best "
+                    "iteration counts; runs the general-region XLA path)")
     ap.add_argument("--warm", action="store_true",
                     help="reference-default warm start (useWarmStart is ON by default "
                     "in the reference, HDK_PolyStokes.C:194; guess p = -G^T v - JG^T w "
@@ -57,8 +61,10 @@ def main():
     from polystokes_tpu.scenes import builders
     from polystokes_tpu.solver import check_pallas, solve_chunked
 
+    kw = {"max_regions": 64} if args.single else {}
     params = SolverParams(
-        do_reduced_regions=not args.uniform, do_tile=True, tile_size=args.tile, tile_padding=2,
+        do_reduced_regions=not args.uniform, do_tile=not args.single,
+        tile_size=args.tile, tile_padding=2, **kw,
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
         deflation=args.deflation, fuse_pap=not args.no_fuse_pap,
@@ -77,7 +83,7 @@ def main():
     step_s = time.perf_counter() - t0
     it = int(stats["iterations"])
     print(json.dumps({
-        "config": f"{args.scene}_n{args.n}_{'uni' if args.uniform else f'tile{args.tile}'}_defl{int(args.deflation)}{'_warm' if args.warm else ''}",
+        "config": f"{args.scene}_n{args.n}_{'uni' if args.uniform else ('single' if args.single else f'tile{args.tile}')}_defl{int(args.deflation)}{'_warm' if args.warm else ''}",
         "iterations": it,
         "error": float(stats["error"]),
         "converged": bool(stats["converged"]),

@@ -24,6 +24,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--viscosity", type=float, default=None,
+                    help="override the scene viscosity (regime study: the "
+                    "reduced/uniform iteration ratio may be a high-viscosity "
+                    "phenomenon — 0.5/mu mass terms degenerate the tau block)")
     ap.add_argument("--tile", type=int, default=8)
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--uniform", action="store_true")
@@ -82,7 +86,8 @@ def main():
         tile_padding=2,
         preconditioner=PreconditionerType.CELL_ARROW,
     )
-    grid, scene = honey_coil(n=args.n, dtype=jnp.float64)
+    kw = {"viscosity": args.viscosity} if args.viscosity is not None else {}
+    grid, scene = honey_coil(n=args.n, dtype=jnp.float64, **kw)
     R = effective_max_regions(grid, params)
     lw, fw = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
     cls = classify(grid, lw, fw, params)

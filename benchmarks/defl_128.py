@@ -72,6 +72,9 @@ def main():
         use_warm_start=args.warm, device_warm_start=args.warm,
     )
     grid, scene = getattr(builders, args.scene)(n=args.n, dtype=jnp.float32)
+    from polystokes_tpu.solver import sample_density
+
+    params = sample_density(scene, params)
     params = check_pallas(grid, scene, params)
 
     # warm-up/compile pass (chunked so each device call stays bounded)

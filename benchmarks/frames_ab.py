@@ -45,6 +45,9 @@ def run_config(name, builder, args, reduced):
         use_warm_start=not args.cold, device_warm_start=not args.cold,
     )
     grid, scene = builder(n=args.n, dtype=jnp.float32)
+    from polystokes_tpu.solver import sample_density
+
+    params = sample_density(scene, params)
     params = check_pallas(grid, scene, params)
 
     @partial(jax.jit, static_argnames=("g", "ax"))

@@ -142,6 +142,27 @@ def jelly_jam(n: int = 64, dtype=jnp.float32, viscosity: float = 30.0, dt: float
     return grid, scene
 
 
+def jelly_jam_si(n: int = 64, dtype=jnp.float32, viscosity: float = 400.0, density: float = 1000.0, dt: float = 1 / 24) -> Tuple[Grid, Scene]:
+    """jelly_jam at the reference scene file's own SI parameters:
+    viscosity 400 kg/(m s), density 1000 kg/m^3, dt 1/24
+    (scenes/jelly_jam/reduced/jelly_jam.hipnc: `viscosity ( 400 )`,
+    `density ( 1000 )`).  The unit-cube jar stands at ~1 m scale.
+
+    The dimensionless viscous stiffness lambda = mu dt / (rho dx^2) is
+    ~273 at n=128 — the regime the reference actually benchmarks, where
+    reduced and uniform solves converge in comparable CG iterations
+    (results/figures/Timings_ArmadilloDropWIterations.png, bottom panel).
+    The rho=1 builders above sit at lambda ~ 7e3-2e4 (far stiffer than
+    physical liquids), where the reduced system's J^T BInv J coupling
+    degrades conditioning ~2x — see ROADMAP round-3 findings and the
+    benchmarks/diag_spectrum.py --viscosity lab."""
+    grid, scene = jelly_jam(n=n, dtype=dtype, viscosity=viscosity, dt=dt)
+    import dataclasses
+
+    scene = dataclasses.replace(scene, density=jnp.full(grid.res, density, dtype))
+    return grid, scene
+
+
 def conveyor_belt(n: int = 64, dtype=jnp.float32, viscosity: float = 15.0, dt: float = 1 / 24, belt_speed: float = 0.5) -> Tuple[Grid, Scene]:
     """Liquid blob on a moving solid belt: nonzero collision velocity."""
     grid = Grid(res=(n, n, n), dx=1.0 / n)
@@ -170,5 +191,6 @@ SCENES = {
     "honey_coil": honey_coil,
     "armadillo_melt": armadillo_melt,
     "jelly_jam": jelly_jam,
+    "jelly_jam_si": jelly_jam_si,
     "conveyor_belt": conveyor_belt,
 }

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--max-iters", type=int, default=20000)
     ap.add_argument("--no-fuse-pap", action="store_true")
     ap.add_argument("--fuse-update", action="store_true")
+    ap.add_argument("--coeff-bf16", action="store_true")
     ap.add_argument("--precond", default="cell_arrow")
     args = ap.parse_args()
 
@@ -68,7 +69,7 @@ def main():
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
         deflation=args.deflation, fuse_pap=not args.no_fuse_pap,
-        fuse_update=args.fuse_update,
+        fuse_update=args.fuse_update, coeff_bf16=args.coeff_bf16,
         use_warm_start=args.warm, device_warm_start=args.warm,
     )
     grid, scene = getattr(builders, args.scene)(n=args.n, dtype=jnp.float32)

@@ -381,13 +381,21 @@ def cell_cube_ids(shape, tile_size: int):
 
 
 def enforce_one_region_per_cube(labels, region_ids, region_valid, tile_size: int, max_regions: int):
-    """With tiling on, every region is confined to one tile cube (the
-    padding slabs separate cubes), but a cube's interior can contain
-    several disconnected components.  Keep only the lowest-id region per
+    """Cube-alignment hygiene: keep only the lowest-id region per tile
     cube and demote the rest to ACTIVEFLUID.  This enables the dense
     per-cube (scatter-free) reduction path while keeping the Galerkin
     spaces exact; the reference would keep the extra components as
-    separate regions — here they simply stay uniform DOFs."""
+    separate regions — here they simply stay uniform DOFs.
+
+    With tiling on, every region is confined to one tile cube (the
+    padding slabs separate cubes), so only extra disconnected components
+    inside a cube are demoted.  With tiling OFF (general regions), a
+    region freely spans many cubes — a region keeps all its cells unless
+    a LOWER-id region shares one of its cubes, in which case only the
+    cells inside that shared cube are demoted.  Correctness of the
+    per-cube J coupling then follows from fix_region_boundaries: a
+    REDUCED face always has both adjacent cells in the same region, and
+    its slot cube (the lower cell's cube) keeps exactly that region."""
     red = labels == REDUCED
     cubes, cs = cell_cube_ids(labels.shape, tile_size)
     ncubes = cs[0] * cs[1] * cs[2]
@@ -518,6 +526,26 @@ def classify_edges(liquid_w, fluid_w, edge_axis: int) -> jnp.ndarray:
 # Reduced index propagation to faces and edges
 # (reference: Classifier.cpp:1473-1732)
 # ---------------------------------------------------------------------------
+
+def _demote_foreign_cube_faces(face_labels, face_region, region_of_cube, tile_size: int, axis: int, res):
+    """Relabel REDUCED faces whose slot cube's kept region differs from
+    the face's own region (see classify() untiled branch) as ACTIVEFLUID."""
+    cs = cube_shape(res, tile_size)
+    roc3 = region_of_cube.reshape(cs)
+    shape = face_labels.shape
+    idx = []
+    for i in range(3):
+        c = jnp.arange(shape[i], dtype=jnp.int32)
+        if i == axis:
+            c = c - 1  # slot = lower adjacent cell; natural 0 -> outside
+        idx.append(jnp.clip(c // tile_size, 0, cs[i] - 1).reshape([-1 if j == i else 1 for j in range(3)]))
+    cube_reg = roc3[idx[0], idx[1], idx[2]]
+    outside = (jnp.arange(shape[axis], dtype=jnp.int32) == 0).reshape([-1 if j == axis else 1 for j in range(3)])
+    bad = (face_labels == REDUCED) & ((face_region != cube_reg) | outside)
+    new_labels = jnp.where(bad, ACTIVEFLUID, face_labels)
+    new_region = jnp.where(bad, INVALID_REGION, face_region)
+    return new_labels.astype(jnp.int8), new_region.astype(jnp.int32)
+
 
 def face_reduced_indices(cell_labels, cell_region, face_labels, axis: int):
     """A face whose adjacent cell is REDUCED inherits that cell's region id
@@ -663,7 +691,10 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
         cell_region, region_valid, n_regions, overflow = compact_regions(comp, max_regions)
         cell_labels, cell_region = fix_region_boundaries(cell_labels, cell_region, params.region_fix_max_iters)
         cell_labels, cell_region, region_valid = fix_small_regions(cell_labels, cell_region, region_valid, max_regions)
-        if params.do_tile:
+        if params.do_tile or params.cube_regions:
+            # cube-aligned region map (tiled regions ARE cubes; for
+            # general regions the same hygiene keys the cube-major
+            # reduction/J-coupling fast paths at tile_size granularity)
             cell_labels, cell_region, region_valid, region_of_cube = enforce_one_region_per_cube(
                 cell_labels, cell_region, region_valid, params.tile_size, max_regions
             )
@@ -674,6 +705,17 @@ def classify(grid: Grid, liquid_w, fluid_w, params: SolverParams) -> Classificat
         fl, fr = [], []
         for a in range(3):
             nl, nr = face_reduced_indices(cell_labels, cell_region, face_labels[a], a)
+            if not params.do_tile and params.cube_regions:
+                # cube-alignment for faces: a REDUCED face is keyed (in the
+                # cube-major J-coupling and setup reductions) by its SLOT
+                # cube — the cube of its lower adjacent cell.  For general
+                # regions the region's lower skin can land exactly on a
+                # cube boundary, putting the face in a cube whose kept
+                # region differs (or that has none); demote those faces to
+                # ACTIVEFLUID (conservative: they become real velocity
+                # DOFs).  Tiled regions can't produce this case (padding
+                # slabs keep every region's faces inside its own cube).
+                nl, nr = _demote_foreign_cube_faces(nl, nr, region_of_cube, params.tile_size, a, grid.res)
             fl.append(nl)
             fr.append(nr)
         face_labels = fl

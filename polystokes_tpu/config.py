@@ -105,6 +105,14 @@ class SolverParams:
     # O(diameter) on-device min-propagation — the analog of the
     # reference's host CC builder (Classifier.cpp:218-239).
     cc_host_callback: bool = False
+    # Untiled general regions: run the cube-alignment hygiene
+    # (classify.enforce_one_region_per_cube at tile_size granularity) so
+    # the cube-major reduction + packed Pallas J-coupling paths apply to
+    # arbitrary region shapes.  Costs nothing when regions don't share a
+    # cube; otherwise demotes the higher-id region's cells in the shared
+    # cube to uniform DOFs (exact, conservative).  Set False for the
+    # reference-literal region shapes (general segment path, much slower).
+    cube_regions: bool = True
 
     # -- material
     constant_density: float = 1.0

@@ -29,7 +29,11 @@ stencils become (t = 3 - a - e):
   tc_a[c]  += -clw[c] * (w_a[c-e_a] - w_a[c]) - uinv2_c[c] * x_tc_a[c]
   te_e[j]  += elw_e[j] * sum_a (w_a[j+e_t] - w_a[j]) - uinv2_e[j] * x_te_e[j]
 
-with g_a = clw*(p - tc_a), h_e = elw_e*x_te_e, w_a = -dtmcinv_a * s_a.
+with g_a = clw*(p - tc_a), h_e = elw_e*x_te_e, and
+w_a = ffw_a * (-dtmcinv_a * s_a): the transpose carries the SAME ffw face
+factor as the forward (G^T vs G) — at solid-cut faces (ffw < 1) dropping
+it makes the operator wrong and asymmetric (transpose_from_faces,
+operators.py:260 multiplies by ffw again).
 
 Blocks tile (x, y) with a 2-cell halo (host-side zero pad); z stays whole
 (full lane dimension).  In-kernel +-1 shifts along x/y are rolls whose
@@ -227,8 +231,12 @@ def _forward_s(xr, cr):
 
 def _transpose_out(xr, cr, w, out_ref, extra=None):
     """out channels from face values w (slot space), incl. the uInv mass
-    terms; writes the interior [HALO:-HALO, HALO:-HALO]."""
+    terms; writes the interior [HALO:-HALO, HALO:-HALO].  The transpose
+    side carries its own ffw factor (G^T has the same face weight as G —
+    transpose_from_faces multiplies f by ffw again, operators.py:260);
+    without it the operator is wrong (and asymmetric) at solid-cut faces."""
     itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+    w = [cr[C_FFW + a] * w[a] for a in range(3)]
     dsum = []
     p_acc = None
     for a in range(3):
@@ -509,9 +517,11 @@ def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
 
 def _transpose_contrib(cr, w):
     """The 7 output contributions of transposing face values w (no mass
-    terms, no x): the u-branch of the split apply."""
+    terms, no x): the u-branch of the split apply.  Like _transpose_out,
+    the transpose carries its own ffw face factor."""
     dsum = []
     p_acc = None
+    w = [cr[C_FFW + a] * w[a] for a in range(3)]
     for a in range(3):
         d = _shift(w[a], a, -1) - w[a]
         dsum.append(d)
@@ -626,15 +636,15 @@ def _grid_uniform_pap_kernel(xr, cr, out_ref, pap_ref):
     pap_ref[pl.program_id(0), pl.program_id(1)] = acc
 
 
-def _finish_kernel(c4r, gr, ur, out_ref):
-    """out = out_grid + [G Dt]^T(-u).  gr is a plain interior block; c4r /
-    ur are halo windows of the padded coeff (first 4 channels) and u
-    stacks.  The u-branch pAp contribution is NOT computed here: it equals
+def _finish_kernel(c7r, gr, ur, out_ref):
+    """out = out_grid + [G Dt]^T(-u).  gr is a plain interior block; c7r /
+    ur are halo windows of the padded coeff (first 7 channels: clw, elw,
+    ffw — the transpose needs ffw) and u stacks.  The u-branch pAp contribution is NOT computed here: it equals
     -sum(mom * v) in the per-cube coefficient space (<x, F^T(-chi J v)> =
     -<chi F x, J v> = -sum_k mom_k v_k, same cube-origin basis on both
     sides), which the caller evaluates on the tiny moment arrays."""
     w = [-ur[a] for a in range(3)]
-    contrib = _transpose_contrib(c4r, w)
+    contrib = _transpose_contrib(c7r, w)
     itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
     for c in range(7):
         out_ref[c] = gr[c] + contrib[c][itr]
@@ -730,7 +740,7 @@ def finish_packed(coeffs_padded, out_grid, up, res, interpret=None):
     return pl.pallas_call(
         _finish_kernel,
         grid=grid,
-        in_specs=[halo_spec(4), plain_spec(7), halo_spec(3)],
+        in_specs=[halo_spec(7), plain_spec(7), halo_spec(3)],
         out_specs=plain_spec(7),
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), out_grid.dtype),
         interpret=interpret,
@@ -815,7 +825,7 @@ def finish_update_packed(xp, rp, pp, alpha, coeffs_padded, out_grid, up, factors
         memory_space=None if interpret else pltpu.SMEM,
     )
     ins = [jnp.reshape(alpha.astype(dtype), (1,)), coeffs_padded, out_grid, _pad_halo(up), xp, rp, pp]
-    in_specs = [scalar_spec, halo_spec(4), plain_spec(7), halo_spec(3), plain_spec(7), plain_spec(7), plain_spec(7)]
+    in_specs = [scalar_spec, halo_spec(7), plain_spec(7), halo_spec(3), plain_spec(7), plain_spec(7), plain_spec(7)]
     if kind == "arrow":
         ins.append(factors)
         in_specs.append(plain_spec(N_ARROW))
@@ -963,8 +973,10 @@ def pallas_compatible(grid_res, params) -> bool:
     except ValueError:
         return False
     if params.do_reduced_regions:
-        if not params.do_tile or params.tile_padding < 1:
-            return False  # general-region path has no packed moments kernel
+        if params.do_tile and params.tile_padding < 1:
+            return False
+        if not params.do_tile and not params.cube_regions:
+            return False  # literal general regions: no cube-aligned map
         T = params.tile_size
         if T > bx or bx % T:
             return False  # cubes must stay whole along x

@@ -115,7 +115,13 @@ def segment_rank1(C1, C2, w, ids, R, chunk=1 << 16):
 # ---------------------------------------------------------------------------
 
 def _use_tiled(params: SolverParams) -> bool:
-    return params.do_tile and params.tile_padding >= 1
+    """Whether the cube-major (scatter-free) reduction/J-coupling paths
+    apply.  Tiled regions are cubes by construction; general (untiled)
+    regions qualify when classify() ran the cube-alignment hygiene
+    (params.cube_regions), which guarantees one region per tile cube."""
+    if params.do_tile:
+        return params.tile_padding >= 1
+    return params.cube_regions
 
 
 def _to_cube_multiple(arr, facelike_axes, T: int, cs):

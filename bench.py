@@ -92,6 +92,7 @@ def main():
         "error": err,
         "n_regions": int(stats["n_regions"]),
         "cpu_baseline_s": round(cpu_s, 2) if np.isfinite(cpu_s) else None,
+        "baseline_kind": "single-core CPU equivalent (scipy CSR factored apply); the reference runs TBB/OpenMP multi-core — divide by ~8-16x for a multi-core estimate",
         "compile_s": round(compile_and_first, 1),
         "device": str(jax.devices()[0]),
     }

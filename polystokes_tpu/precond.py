@@ -60,18 +60,42 @@ def _diag_quadratic_form(grid, cls, asm, params, a):
     dtype = params.dtype
     reg = cls.face_region[a]
     red = (cls.face_labels[a] == REDUCED) & (reg >= 0)
-    safe = jnp.clip(reg, 0, asm.binv.shape[0] - 1)
     A = jnp.asarray(monomial_matrix(a, params.basis), dtype)
     G = jnp.einsum("dk,rde,el->rkl", A, asm.binv, A)  # [R, K, K]
-
+    K = n_monomials(params.basis)
     shape = reg.shape
+
+    from .reduced import _use_tiled
+
+    if _use_tiled(params):
+        # cube-major: gather G and COM per CUBE (tiny) and broadcast over
+        # cells — the per-face [grid]-sized table gathers below cost whole
+        # seconds per K^2 pass at 128^3+
+        from .reduced import _face_offset_grids, block_broadcast
+
+        T = params.tile_size
+        cs = tuple(-(-n // T) for n in cls.cell_labels.shape)
+        roc = cls.region_of_cube
+        safe_c = jnp.clip(roc, 0, G.shape[0] - 1)
+        ok = (roc >= 0).astype(dtype)
+        px, py, pz = _face_offset_grids(cls, asm.com, a, params, T, cs)
+        mono = monomials_xyz(px, py, pz, params.basis)
+        q = jnp.zeros(shape, dtype)
+        for k in range(K):
+            for l in range(k, K):
+                gc = jnp.where(roc >= 0, G[safe_c, k, l], 0.0)
+                gkl = block_broadcast(gc, (a,), T, cs, shape)
+                scale = 1.0 if k == l else 2.0
+                q = q + scale * gkl * mono[k] * mono[l]
+        return jnp.where(red, q, 0.0)
+
+    safe = jnp.clip(reg, 0, asm.binv.shape[0] - 1)
     cx, cy, cz = gather_com_xyz(asm.com, reg)
     off = face_offsets(a)
     px = _coord_axis(shape, 0, dtype) + off[0] - cx
     py = _coord_axis(shape, 1, dtype) + off[1] - cy
     pz = _coord_axis(shape, 2, dtype) + off[2] - cz
     mono = monomials_xyz(px, py, pz, params.basis)
-    K = n_monomials(params.basis)
     q = jnp.zeros(shape, dtype)
     for k in range(K):
         for l in range(k, K):

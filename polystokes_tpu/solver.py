@@ -716,12 +716,16 @@ def _make_deflation(grid: Grid, cls, asm, params: SolverParams):
 
 
 @precise_matmul
-def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None):
+def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None, pfac=None):
     """(apply_K, precond, b_K, x0_K, packed): the Krylov-space operator,
     preconditioner, RHS and initial guess — packed [7,...] channel layout
     when the fused Pallas path is enabled, PTau otherwise.  `defl` (a
     DeflationState) wraps the preconditioner in the A-DEF2 two-level
-    combination and projects the initial guess."""
+    combination and projects the initial guess.  `pfac` (precomputed
+    precond_factors_packed) skips the factor probe — the chunked driver
+    computes it once and threads it through init and every segment
+    (recomputing it inside _chunk_init cost whole seconds per solve at
+    128^3)."""
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
     b = build_rhs(grid, cls, asm, params, R)
@@ -749,7 +753,8 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
         from .pallas_apply import pack_ptau
 
         apply_K = make_apply_packed(grid, cls, asm, params, R)
-        pfac = precond_factors_packed(grid, cls, asm, params)
+        if pfac is None:
+            pfac = precond_factors_packed(grid, cls, asm, params)
         fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
         apply_dot = (
             make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
@@ -778,8 +783,8 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
 
 @partial(jax.jit, static_argnames=("grid", "params"))
 @precise_matmul
-def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None):
-    apply_K, _apply_dot, _fused_update, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
+def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None, pfac=None):
+    apply_K, _apply_dot, _fused_update, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl, pfac)
     return krylov.pcg_init(apply_K, b_K, x0_K, precond)
 
 
@@ -907,7 +912,7 @@ def solve_chunked(
         jax.block_until_ready(pfac)
 
     _v("chunk init...")
-    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl)
+    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl, pfac)
     jax.block_until_ready(carry.r)
     _v("first segment...")
     if resume and state_path and _os.path.exists(state_path):

@@ -6,6 +6,11 @@
   3. tiled reduced honey_coil 128^3 (tile 16 pad 2) — the headline
   4. solid-coupled conveyor_belt 64^3 (moving collider)
   5. 256^3 tiled reduced armadillo_melt (production scale)
+  6. uniform honey_coil 128^3 (A/B partner for 3/7)
+  7. single-region reduced honey_coil 128^3 (untiled packed path —
+     beats uniform on TPU wall-clock)
+  8. uniform armadillo 256^3 (A/B partner for 5/9)
+  9. single-region reduced armadillo 256^3
 
 Writes BENCH_SUITE.json (list of per-config records) — the analog of the
 reference's armadillo timing figures (results/figures/Timings_*.png).
@@ -64,7 +69,7 @@ def run_config(name, grid, scene, params, segment_iters=1000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9")
     ap.add_argument("--iters-cap", type=int, default=20000)
     ap.add_argument("--precond", default="cell_arrow")
     ap.add_argument("--no-pallas", action="store_true")
@@ -134,6 +139,23 @@ def main():
         grid, scene = honey_coil(n=128, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=False)
         records.append(run_config("uniform_honey_coil_128", grid, scene, p))
+    if 7 in want:
+        # single-region reduced at the headline resolution: the untiled
+        # packed path (cube-aligned general regions).  This is the
+        # reduced configuration that beats uniform on TPU wall-clock.
+        grid, scene = honey_coil(n=128, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+        records.append(run_config("single_region_honey_coil_128", grid, scene, p))
+    if 8 in want:
+        # production-scale A/B partner for config 5: uniform armadillo 256^3
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=False)
+        records.append(run_config("uniform_armadillo_256", grid, scene, p))
+    if 9 in want:
+        # single-region reduced at production scale
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+        records.append(run_config("single_region_armadillo_256", grid, scene, p))
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
     existing = []

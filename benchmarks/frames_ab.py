@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(name, builder, args, reduced):
+def run_config(name, builder, args, reduced, single=False):
     import dataclasses as dc
     from functools import partial
 
@@ -37,8 +37,9 @@ def run_config(name, builder, args, reduced):
     from polystokes_tpu.config import PreconditionerType
     from polystokes_tpu.solver import check_pallas, solve_chunked
 
+    kw = {"max_regions": 64} if single else {}
     params = SolverParams(
-        do_reduced_regions=reduced, do_tile=True, tile_size=args.tile, tile_padding=2,
+        do_reduced_regions=reduced, do_tile=not single, tile_size=args.tile, tile_padding=2, **kw,
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
         fuse_update=args.fuse_update,
@@ -131,6 +132,9 @@ def main():
         records.append(run_config(f"frames_{args.scene}_{args.n}_uniform", builder, args, reduced=False))
     if "tiled" in want:
         records.append(run_config(f"frames_{args.scene}_{args.n}_tile{args.tile}", builder, args, reduced=True))
+    if "single" in want:
+        # the untiled single-region reduced mode (packed via cube regions)
+        records.append(run_config(f"frames_{args.scene}_{args.n}_single", builder, args, reduced=True, single=True))
 
     for r in records:
         print(json.dumps(r), flush=True)

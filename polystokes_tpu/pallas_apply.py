@@ -383,6 +383,7 @@ def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
         out_specs=u_spec,
         out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), v_origin.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(red_packed, v_origin)
 
 
@@ -455,6 +456,16 @@ def _auto_interpret(interpret):
     return interpret
 
 
+def _vmem_kwargs(interpret):
+    """Raise the per-kernel scoped-VMEM limit: at nz=256 the 17-channel
+    coefficient window [17, bx+2Hx, by+2Hy, nz] alone is ~5.6MB and the
+    double-buffered window set exceeds Mosaic's 16MB default (v5e has
+    128MB physical VMEM, so ~20MB of windows is comfortably legal)."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}
+
+
 def apply_uniform_packed(xp, coeffs_padded, res, interpret=None):
     """out = (grid part of A) x, packed [7,...] -> [7,...], one fused kernel."""
     interpret = _auto_interpret(interpret)
@@ -467,6 +478,7 @@ def apply_uniform_packed(xp, coeffs_padded, res, interpret=None):
         out_specs=out_spec(7),
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(_pad_halo(xp), coeffs_padded)
 
 
@@ -482,6 +494,7 @@ def forward_s_packed(xp, coeffs_padded, res, interpret=None):
         out_specs=out_spec(3),
         out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), xp.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(_pad_halo(xp), coeffs_padded)
 
 
@@ -497,6 +510,7 @@ def combine_packed(xp, coeffs_padded, sp, up, res, interpret=None):
         out_specs=out_spec(7),
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(_pad_halo(xp), coeffs_padded, _pad_halo(sp), _pad_halo(up))
 
 
@@ -512,6 +526,7 @@ def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
         out_specs=out_spec(7),
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp_padded.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(xp_padded, coeffs_padded, _pad_halo(up))
 
 
@@ -692,6 +707,7 @@ def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None)
             jax.ShapeDtypeStruct((nx // bx, ny // by), dtype),
         ],
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(xp_padded, coeffs_padded)
 
 
@@ -711,6 +727,7 @@ def apply_uniform_pap_packed(xp, coeffs_padded, res, interpret=None):
             jax.ShapeDtypeStruct((nx // bx, ny // by), xp.dtype),
         ],
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(_pad_halo(xp), coeffs_padded)
 
 
@@ -744,6 +761,7 @@ def finish_packed(coeffs_padded, out_grid, up, res, interpret=None):
         out_specs=plain_spec(7),
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), out_grid.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(coeffs_padded, out_grid, _pad_halo(up))
 
 
@@ -959,6 +977,7 @@ def cg_update_packed(xp, rp, pp, app, alpha, factors=None, kind="none", interpre
             jax.ShapeDtypeStruct((3, grid[0], grid[1]), dtype),
         ],
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(*ins)
     sums = jnp.sum(part, axis=(1, 2))
     return xo, ro, zo, sums[0], sums[1], sums[2]
@@ -1012,4 +1031,5 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
         out_specs=mom_spec,
         out_shape=jax.ShapeDtypeStruct((cs[0], cs[1], 3 * K, cs[2]), xp_padded.dtype),
         interpret=interpret,
+        **_vmem_kwargs(interpret),
     )(xp_padded, coeffs_padded)

@@ -36,7 +36,7 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run_case(scene_name, n, tile, reduced, fused_check=False):
+def run_case(scene_name, n, tile, reduced, fused_check=False, untiled=False):
     from polystokes_tpu import SolverParams
     from polystokes_tpu.classify import classify, effective_max_regions
     from polystokes_tpu.pallas_apply import pack_ptau, unpack_ptau
@@ -51,8 +51,9 @@ def run_case(scene_name, n, tile, reduced, fused_check=False):
     from polystokes_tpu.weights import compute_weights
 
     params = SolverParams(
-        do_reduced_regions=reduced, do_tile=True, tile_size=tile, tile_padding=2,
+        do_reduced_regions=reduced, do_tile=not untiled, tile_size=tile, tile_padding=2,
         use_pallas=True, dtype=jnp.float32,
+        **({"max_regions": 64} if untiled else {}),
     )
     grid, scene = getattr(builders, scene_name)(n=n, dtype=jnp.float32)
     params = check_pallas(grid, scene, params)
@@ -82,7 +83,7 @@ def run_case(scene_name, n, tile, reduced, fused_check=False):
     scale = max(float(np.max(np.abs(y_ref))), 1e-30)
     pap_ref = float(np.sum(np.asarray(x) * y_ref))
     rec = {
-        "scene": scene_name, "n": n, "tile": tile, "reduced": reduced,
+        "scene": scene_name, "n": n, "tile": tile, "reduced": reduced, "untiled": untiled,
         "apply_scale": scale,
         "packed_vs_xla_max_rel": float(np.max(np.abs(y_pk - y_ref))) / scale,
         "fused_pap_vs_xla_max_rel": float(np.max(np.abs(y_fused - y_ref))) / scale,
@@ -120,14 +121,22 @@ def main():
 
     dev = jax.devices()[0]
     cases = []
-    for scene, n, tile, reduced, fused_check in [
-        ("honey_coil", args.n, 8, True, True),
-        ("honey_coil", args.n, 8, False, False),
-        ("jelly_jam", 32, 8, True, False),
-        ("honey_coil", 128, 16, True, True),
+    for scene, n, tile, reduced, fused_check, untiled in [
+        ("honey_coil", args.n, 8, True, True, False),
+        ("honey_coil", args.n, 8, False, False, False),
+        ("jelly_jam", 32, 8, True, False, False),
+        ("honey_coil", 128, 16, True, False, False),
+        # round-3 operator changes, verified on hardware: the untiled
+        # cube-aligned packed path and the solid-cut ffw transpose fix
+        ("honey_coil", args.n, 16, True, False, True),
+        ("conveyor_belt", args.n, 16, True, False, False),
     ]:
-        print(f"case {scene} n={n} tile={tile} reduced={reduced} ...", flush=True)
-        rec = run_case(scene, n, tile, reduced, fused_check=fused_check)
+        print(f"case {scene} n={n} tile={tile} reduced={reduced} untiled={untiled} ...", flush=True)
+        try:
+            rec = run_case(scene, n, tile, reduced, fused_check=fused_check, untiled=untiled)
+        except Exception as e:  # noqa: BLE001 — remote compile service flakes must not lose the run
+            rec = {"scene": scene, "n": n, "tile": tile, "reduced": reduced, "untiled": untiled,
+                   "skipped": f"{type(e).__name__}: {e}"[:200]}
         print("  ", rec, flush=True)
         cases.append(rec)
 

@@ -94,23 +94,44 @@ def run_case(scene_name, n, tile, reduced, fused_check=False, untiled=False):
         # end-to-end fused finish+update path: a 25-iteration capped solve
         # with fuse_update on vs off must agree on hardware (exercises
         # finish_update_packed / cg_update_packed incl. the -sum(mom*v)
-        # pAp identity inside the live CG loop)
-        from polystokes_tpu import step
-        from polystokes_tpu.config import PreconditionerType
+        # pAp identity inside the live CG loop).  Wrapped in its own try
+        # so a flake here never discards the already-measured apply parity
+        # above (an infra failure becomes fused_update_skipped).
+        try:
+            from polystokes_tpu import step
+            from polystokes_tpu.config import PreconditionerType
 
-        pc = params.replace(
-            max_iterations=25, bicgstab_fallback=False, keep_non_converged=True,
-            preconditioner=PreconditionerType.CELL_ARROW,
-        )
-        v0, _, s0 = step(grid, scene, pc.replace(fuse_update=False))
-        v1, _, s1 = step(grid, scene, pc.replace(fuse_update=True))
-        vs = max(float(np.max(np.abs(np.asarray(v0[0])))), 1e-30)
-        rec["fused_update_vel_max_rel"] = max(
-            float(np.max(np.abs(np.asarray(v1[a]) - np.asarray(v0[a])))) for a in range(3)
-        ) / vs
-        e0, e1 = float(s0["error"]), float(s1["error"])
-        rec["fused_update_err_rel"] = abs(e1 - e0) / max(e0, 1e-30)
+            pc = params.replace(
+                max_iterations=25, bicgstab_fallback=False, keep_non_converged=True,
+                preconditioner=PreconditionerType.CELL_ARROW,
+            )
+            v0, _, s0 = step(grid, scene, pc.replace(fuse_update=False))
+            v1, _, s1 = step(grid, scene, pc.replace(fuse_update=True))
+            vs = max(float(np.max(np.abs(np.asarray(v0[0])))), 1e-30)
+            rec["fused_update_vel_max_rel"] = max(
+                float(np.max(np.abs(np.asarray(v1[a]) - np.asarray(v0[a])))) for a in range(3)
+            ) / vs
+            e0, e1 = float(s0["error"]), float(s1["error"])
+            rec["fused_update_err_rel"] = abs(e1 - e0) / max(e0, 1e-30)
+        except Exception as e:  # noqa: BLE001
+            if not _is_infra_error(e):
+                raise
+            rec["fused_update_skipped"] = f"{type(e).__name__}: {e}"[:200]
     return rec
+
+
+def _is_infra_error(e: Exception) -> bool:
+    """Identifiable remote-tunnel / compile-service flakes (retryable infra,
+    not numerics): anything else should surface as a real failure."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(
+        s in msg
+        for s in (
+            "remote_compile", "compile service", "deadline exceeded",
+            "unavailable", "socket", "connection", "grpc", "tunnel",
+            "internal: ", "resource exhausted",
+        )
+    )
 
 
 def main():
@@ -125,7 +146,7 @@ def main():
         ("honey_coil", args.n, 8, True, True, False),
         ("honey_coil", args.n, 8, False, False, False),
         ("jelly_jam", 32, 8, True, False, False),
-        ("honey_coil", 128, 16, True, False, False),
+        ("honey_coil", 128, 16, True, True, False),
         # round-3 operator changes, verified on hardware: the untiled
         # cube-aligned packed path and the solid-cut ffw transpose fix
         ("honey_coil", args.n, 16, True, False, True),
@@ -134,23 +155,36 @@ def main():
         print(f"case {scene} n={n} tile={tile} reduced={reduced} untiled={untiled} ...", flush=True)
         try:
             rec = run_case(scene, n, tile, reduced, fused_check=fused_check, untiled=untiled)
-        except Exception as e:  # noqa: BLE001 — remote compile service flakes must not lose the run
+        except Exception as e:  # noqa: BLE001
+            # only identifiable infra flakes become "skipped"; a genuine
+            # operator crash or numerics failure must fail the artifact
+            tag = "skipped" if _is_infra_error(e) else "error"
             rec = {"scene": scene, "n": n, "tile": tile, "reduced": reduced, "untiled": untiled,
-                   "skipped": f"{type(e).__name__}: {e}"[:200]}
+                   tag: f"{type(e).__name__}: {e}"[:200]}
         print("  ", rec, flush=True)
         cases.append(rec)
 
-    ok = all(
-        c.get("skipped")
-        or (
-            c["packed_vs_xla_max_rel"] < 1e-4
-            and c["fused_pap_vs_xla_max_rel"] < 1e-4
-            and c["pap_rel_err"] < 1e-3
-            and c.get("fused_update_vel_max_rel", 0.0) < 5e-3
-        )
-        for c in cases
+    measured = [c for c in cases if "packed_vs_xla_max_rel" in c]
+    skipped = [c for c in cases if "skipped" in c]
+    errored = [c for c in cases if "error" in c]
+    ok = not errored and all(
+        c["packed_vs_xla_max_rel"] < 1e-4
+        and c["fused_pap_vs_xla_max_rel"] < 1e-4
+        and c["pap_rel_err"] < 1e-3
+        and c.get("fused_update_vel_max_rel", 0.0) < 5e-3
+        for c in measured
     )
-    payload = {"device": str(dev), "backend": jax.default_backend(), "ok": ok, "cases": cases}
+    notes = []
+    if skipped:
+        notes.append(f"{len(skipped)} case(s) skipped on identifiable infra flakes (see 'skipped' fields)")
+    for c in measured:
+        if "fused_update_skipped" in c:
+            notes.append(f"fused_update check skipped for {c['scene']} n={c['n']} (infra flake); apply parity measured")
+    payload = {
+        "device": str(dev), "backend": jax.default_backend(), "ok": ok,
+        "measured_count": len(measured), "skipped_count": len(skipped), "error_count": len(errored),
+        "notes": notes, "cases": cases,
+    }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({"ok": ok, "out": args.out}))

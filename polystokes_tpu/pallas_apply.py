@@ -61,14 +61,18 @@ HALO_X = 2
 HALO_Y = 4
 
 
-def _ypb(T: int, by: int) -> int:
-    """y grid-blocks per cube column (1 when a block covers >= 1 cube).
-    When by < T the moments/expand kernels process PARTIAL cubes: each
-    block covers a by-wide y slice of the T-wide cube, and the moment
-    partials accumulate across the ypb consecutive innermost-grid visits
-    that share one output cube block (the TPU grid is sequential, so the
-    revisited VMEM output block persists between them)."""
-    return max(T // by, 1)
+def _subgrid(T: int, bx: int, by: int):
+    """(xpb, ypb): grid sub-blocks per cube along x / y (1 when a block
+    covers >= 1 whole cube on that axis).  When the tile exceeds the block
+    on an axis the moments/expand kernels process PARTIAL cubes: the
+    reduced kernels run on a 3-D grid (cube_i, cube_j, sub) whose
+    innermost dimension enumerates the xpb*ypb sub-blocks of one cube
+    column, and the moment partials accumulate across those consecutive
+    visits — the TPU grid is sequential, so the revisited VMEM output
+    block persists between them.  This is what lets tile 32/64 cubes run
+    through 16x8 blocks (the reference's best published tile is 64,
+    results/figures/Timings_ArmadilloDrop.png)."""
+    return max(T // bx, 1), max(T // by, 1)
 
 # coefficient channel indices
 C_CLW = 0
@@ -287,14 +291,14 @@ def _apply_reduced_kernel(xr, cr, ur, out_ref):
 
 def _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn):
     """Kernel: per-cube monomial moments of the reduced-masked s (see
-    _mom_block).  Outputs mom[cpbx, max(cpby,1), 3K, cs2]; when by < T the
-    output block is revisited by ypb consecutive y-grid steps that each
-    add a partial-cube contribution."""
-    cpbx = bx // T
+    _mom_block).  Outputs mom[max(bx//T,1), max(by//T,1), 3K, cs2]; when
+    the tile exceeds the block the output block is revisited by the
+    xpb*ypb consecutive sub-grid steps that each add a partial-cube
+    contribution."""
 
     def kernel(xr, cr, mom_ref):
         s = _forward_s(xr, cr)
-        _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref)
+        _mom_block(s, cr, K, T, bx, by, nz, mono_fn, mom_ref)
 
     return kernel
 
@@ -309,26 +313,28 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
     in the cube-origin monomial basis ([cs0, cs1, 3K, cs2]).  The per-z-
     cube coefficients expand to full-z rows via one MXU matmul against the
     z-cube indicator."""
-    cpbx = bx // T
-    cpby = max(by // T, 1)
-    ypb = _ypb(T, by)
-    wy = min(T, by)
+    xpb, ypb = _subgrid(T, bx, by)
+    spb = xpb * ypb
+    wx, wy = min(T, bx), min(T, by)
+    cpbx, cpby = max(bx // T, 1), max(by // T, 1)
     cs2 = nz // T
 
     def kernel(red_ref, v_ref, u_ref):
         # compute dtype comes from the coefficients: the red mask may be
         # stored bf16 (exact 0/1 values) to halve its read traffic
         dtype = v_ref.dtype
-        j_sub = jax.lax.rem(pl.program_id(1), jnp.int32(ypb)) if ypb > 1 else None
+        sub = pl.program_id(2) if spb > 1 else None
         zi = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 1)
         ci = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 0)
         Zt = (zi // T == ci).astype(dtype)  # (cs2, nz)
-        lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 2)
+        lz3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 2)
         pz_local = (lz3 - T * (lz3 // T)).astype(dtype)
-        lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 0).astype(dtype)
-        ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 1).astype(dtype)
+        lx3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 0).astype(dtype)
+        ly3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 1).astype(dtype)
+        if xpb > 1:
+            lx3 = lx3 + ((sub // ypb) * bx).astype(dtype)
         if ypb > 1:
-            ly3 = ly3 + (j_sub * by).astype(dtype)
+            ly3 = ly3 + ((sub % ypb) * by).astype(dtype)
         for a in range(3):
             for lc in range(cpbx):
                 for mc in range(cpby):
@@ -341,9 +347,10 @@ def _make_expand_kernel(K, T, bx, by, nz, mono_fn):
                     for k in range(K):
                         term = mono[k] * vfull[k][None, None, :]
                         acc = term if acc is None else acc + term
+                    xsl = slice(lc * wx, (lc + 1) * wx)
                     ysl = slice(mc * wy, (mc + 1) * wy)
-                    chi = red_ref[a, lc * T : (lc + 1) * T, ysl, :]
-                    u_ref[a, lc * T : (lc + 1) * T, ysl, :] = acc * chi
+                    chi = red_ref[a, xsl, ysl, :]
+                    u_ref[a, xsl, ysl, :] = acc * chi
 
     return kernel
 
@@ -359,28 +366,28 @@ def expand_packed(v_origin, red_packed, res, T, basis, interpret=None):
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
     bx, by = _blocks_for(res)
+    xpb, ypb = _subgrid(T, bx, by)
     K = n_monomials(basis)
-    cpbx = bx // T
     cs = tuple(-(-n // T) for n in res)
 
     def mono_fn(ox, oy, oz):
         return monomials_xyz(ox, oy, oz, basis)
 
     kernel = _make_expand_kernel(K, T, bx, by, nz, mono_fn)
-    red_spec = pl.BlockSpec(
-        (3, bx, by, nz), lambda i, j: (0, i, j, 0),
-        memory_space=None if interpret else pltpu.VMEM,
-    )
+
+    def blk_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz),
+            lambda i, j, s: (0, i * xpb + s // ypb, j * ypb + s % ypb, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
     v_spec = _mom_spec(T, bx, by, K, cs, interpret)
-    u_spec = pl.BlockSpec(
-        (3, bx, by, nz), lambda i, j: (0, i, j, 0),
-        memory_space=None if interpret else pltpu.VMEM,
-    )
     return pl.pallas_call(
         kernel,
-        grid=(nx // bx, ny // by),
-        in_specs=[red_spec, v_spec],
-        out_specs=u_spec,
+        grid=(nx // (bx * xpb), ny // (by * ypb), xpb * ypb),
+        in_specs=[blk_spec(3), v_spec],
+        out_specs=blk_spec(3),
         out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), v_origin.dtype),
         interpret=interpret,
         **_vmem_kwargs(interpret),
@@ -411,14 +418,14 @@ def _blocks_for(res):
 
 def _mom_spec(T, bx, by, K, cs, interpret):
     """BlockSpec for the [cs0, cs1, 3K, cs2] moment/coefficient arrays:
-    block (bx//T, max(by//T, 1), 3K, cs2); when by < T, the ypb
-    consecutive y-grid blocks of one cube column map to the SAME output
-    block (partial-cube accumulation, _mom_block)."""
-    ypb = _ypb(T, by)
-    cpbx, cpby = bx // T, max(by // T, 1)
+    block (max(bx//T, 1), max(by//T, 1), 3K, cs2) at cube-column index
+    (i, j) of the 3-D sub-grid; when the tile exceeds the block the spb
+    consecutive sub-grid steps of one cube column map to the SAME block
+    (partial-cube accumulation, _mom_block)."""
+    cpbx, cpby = max(bx // T, 1), max(by // T, 1)
 
-    def index_map(i, j):
-        return (i, j // ypb, 0, 0) if ypb > 1 else (i, j, 0, 0)
+    def index_map(i, j, s):
+        return (i, j, 0, 0)
 
     return pl.BlockSpec(
         (cpbx, cpby, 3 * K, cs[2]), index_map,
@@ -426,28 +433,50 @@ def _mom_spec(T, bx, by, K, cs, interpret):
     )
 
 
-def _grid_and_specs(res: Tuple[int, int, int], chans_in, interpret: bool):
+def _grid_and_specs(res: Tuple[int, int, int], chans_in, interpret: bool, T=None):
     """Overlapping halo windows via all-Element BlockSpecs: inputs are
-    pre-padded by HALO along x/y, and block (i, j) reads the element
-    window [i*bx, i*bx + bx + 2*HALO) of the padded array."""
+    pre-padded by HALO along x/y, and the block at x/y block index
+    (bi, bj) reads the element window [bi*bx, bi*bx + bx + 2*HALO) of the
+    padded array.
+
+    The grid is 3-D (i, j, s): (i, j) walk cube columns of footprint
+    (bx*xpb, by*ypb) and the innermost s enumerates the xpb*ypb
+    sub-blocks of that column, so all sub-blocks of one cube are
+    consecutive grid steps and a cube-indexed output block can accumulate
+    across them (the TPU grid is sequential).  Without a tile (T=None) or
+    when blocks already cover whole cubes, spb == 1 and the grid reduces
+    to the plain block walk."""
     nx, ny, nz = res
     bx, by = _blocks_for(res)
-    grid = (nx // bx, ny // by)
+    xpb, ypb = _subgrid(T, bx, by) if T is not None else (1, 1)
+    spb = xpb * ypb
+    grid = (nx // (bx * xpb), ny // (by * ypb), spb)
 
     def in_spec(c):
         return pl.BlockSpec(
             (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
-            lambda i, j: (0, i * bx, j * by, 0),
+            lambda i, j, s: (0, (i * xpb + s // ypb) * bx, (j * ypb + s % ypb) * by, 0),
             memory_space=None if interpret else pltpu.VMEM,
         )
 
     def out_spec(c):
         return pl.BlockSpec(
-            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            (c, bx, by, nz), lambda i, j, s: (0, i * xpb + s // ypb, j * ypb + s % ypb, 0),
             memory_space=None if interpret else pltpu.VMEM,
         )
 
     return grid, [in_spec(c) for c in chans_in], out_spec
+
+
+def _block_ij(T, bx, by):
+    """(bi, bj): the x/y block index of the current 3-D-grid step (the
+    flattened position pap partials are recorded at)."""
+    xpb, ypb = _subgrid(T, bx, by) if T is not None else (1, 1)
+    i, j = pl.program_id(0), pl.program_id(1)
+    if xpb * ypb == 1:
+        return i, j
+    s = pl.program_id(2)
+    return i * xpb + s // ypb, j * ypb + s % ypb
 
 
 def _auto_interpret(interpret):
@@ -556,7 +585,7 @@ def _transpose_contrib(cr, w):
     return out
 
 
-def _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref):
+def _mom_block(s, cr, K, T, bx, by, nz, mono_fn, mom_ref):
     """Per-cube monomial moments of the reduced-masked s, taken about each
     cube's ORIGIN (lower corner) — positions stay in [0, T], so fp32 is
     well-conditioned and no COM data enters the kernel; the XLA side
@@ -567,32 +596,35 @@ def _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref):
     block, then one MXU matmul against the 0/1 z-cube indicator matrix
     gives all per-z-cube sums at once.
 
-    When by < T (large-z VMEM regime) each grid block covers a by-wide
-    PARTIAL y slice of the cube; the ypb consecutive innermost-grid
-    blocks that share one output cube block accumulate into it (the
-    revisited VMEM output block persists between sequential grid steps:
-    the first sub-block writes, the rest add)."""
+    When the block is smaller than the tile on x or y each grid block
+    covers a PARTIAL slice of the cube; the xpb*ypb consecutive
+    innermost-grid (program_id(2)) blocks that share one output cube
+    block accumulate into it (the revisited VMEM output block persists
+    between sequential grid steps: the first sub-block writes, the rest
+    add)."""
     dtype = s[0].dtype
-    ypb = _ypb(T, by)
-    wy = min(T, by)
-    cpby = max(by // T, 1)
-    j_sub = jax.lax.rem(pl.program_id(1), jnp.int32(ypb)) if ypb > 1 else None
-    yoff = (j_sub * by).astype(dtype) if ypb > 1 else None
+    xpb, ypb = _subgrid(T, bx, by)
+    spb = xpb * ypb
+    wx, wy = min(T, bx), min(T, by)
+    cpbx, cpby = max(bx // T, 1), max(by // T, 1)
+    sub = pl.program_id(2) if spb > 1 else None
     zi = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz // T), 1)
     Z = (zi // T == ci).astype(dtype)
-    lz3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 2)
+    lz3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 2)
     pz_local = (lz3 - T * (lz3 // T)).astype(dtype)
-    lx3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 0).astype(dtype)
-    ly3 = jax.lax.broadcasted_iota(jnp.int32, (T, wy, nz), 1).astype(dtype)
+    lx3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 0).astype(dtype)
+    ly3 = jax.lax.broadcasted_iota(jnp.int32, (wx, wy, nz), 1).astype(dtype)
+    if xpb > 1:
+        lx3 = lx3 + ((sub // ypb) * bx).astype(dtype)
     if ypb > 1:
-        ly3 = ly3 + yoff
+        ly3 = ly3 + ((sub % ypb) * by).astype(dtype)
     for a in range(3):
         sm = s[a] * cr[C_RED + a]
         for lc in range(cpbx):
             for mc in range(cpby):
-                sub = sm[
-                    HALO_X + lc * T : HALO_X + (lc + 1) * T,
+                blk = sm[
+                    HALO_X + lc * wx : HALO_X + (lc + 1) * wx,
                     HALO_Y + mc * wy : HALO_Y + (mc + 1) * wy,
                     :,
                 ]
@@ -600,18 +632,18 @@ def _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref):
                 pos[a] = pos[a] + 0.5
                 mono = mono_fn(pos[0], pos[1], pos[2])
                 rows = jnp.stack(
-                    [jnp.sum(sub * mono[k], axis=(0, 1)) for k in range(K)], axis=0
+                    [jnp.sum(blk * mono[k], axis=(0, 1)) for k in range(K)], axis=0
                 )
                 val = jnp.dot(rows, Z, preferred_element_type=dtype, precision="highest")
                 idx = (lc, mc, slice(a * K, (a + 1) * K), slice(None))
-                if ypb == 1:
+                if spb == 1:
                     mom_ref[idx] = val
                 else:
-                    @pl.when(j_sub == 0)
+                    @pl.when(sub == 0)
                     def _init(val=val, idx=idx):
                         mom_ref[idx] = val
 
-                    @pl.when(j_sub != 0)
+                    @pl.when(sub != 0)
                     def _acc(val=val, idx=idx):
                         mom_ref[idx] = mom_ref[idx] + val
 
@@ -621,19 +653,19 @@ def _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn):
     + mass terms), the per-cube moments of the reduced-masked s, and the
     block-partial <x, out_grid> (for the CG pAp dot) — one read of the
     x/coefficient windows instead of the former two passes."""
-    cpbx = bx // T
 
     def kernel(xr, cr, out_ref, mom_ref, pap_ref):
         s = _forward_s(xr, cr)
         w = [-cr[C_DTMCINV + a] * s[a] for a in range(3)]
         _transpose_out(xr, cr, w, out_ref)
-        _mom_block(s, cr, K, T, cpbx, by, nz, mono_fn, mom_ref)
+        _mom_block(s, cr, K, T, bx, by, nz, mono_fn, mom_ref)
         itr = (slice(HALO_X, s[0].shape[0] - HALO_X), slice(HALO_Y, s[0].shape[1] - HALO_Y), slice(None))
         acc = None
         for c in range(7):
             t = jnp.sum(xr[c][itr] * out_ref[c])
             acc = t if acc is None else acc + t
-        pap_ref[pl.program_id(0), pl.program_id(1)] = acc
+        bi, bj = _block_ij(T, bx, by)
+        pap_ref[bi, bj] = acc
 
     return kernel
 
@@ -671,7 +703,7 @@ def _pap_spec(interpret, nbx, nby):
     one element written per grid step lowers fine (the TPU grid is
     sequential, so the buffer persists across steps)."""
     return pl.BlockSpec(
-        (nbx, nby), lambda i, j: (0, 0),
+        (nbx, nby), lambda *g: (0, 0),
         memory_space=None if interpret else pltpu.SMEM,
     )
 
@@ -693,7 +725,7 @@ def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None)
         return monomials_xyz(ox, oy, oz, basis)
 
     kernel = _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn)
-    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret, T=T)
     mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     dtype = xp_padded.dtype
     return pl.pallas_call(
@@ -985,8 +1017,11 @@ def cg_update_packed(xp, rp, pp, app, alpha, factors=None, kind="none", interpre
 
 def pallas_compatible(grid_res, params) -> bool:
     """Static check for the packed kernel path: x/y divisible by the block
-    size, and (when reduced) the tile size dividing the block and every
-    axis (the moments kernel reduces whole cubes per block)."""
+    size, and (when reduced) the tile size commensurate with the block on
+    each axis — whole cubes per block OR whole blocks per cube (the 3-D
+    sub-grid accumulates partial-cube moments across the consecutive
+    sub-blocks of one cube, so tiles up to the full axis extent work;
+    the reference's best published tile is 64, HDK_PolyStokes.C:130)."""
     try:
         bx, by = _blocks_for(grid_res)
     except ValueError:
@@ -997,10 +1032,10 @@ def pallas_compatible(grid_res, params) -> bool:
         if not params.do_tile and not params.cube_regions:
             return False  # literal general regions: no cube-aligned map
         T = params.tile_size
-        if T > bx or bx % T:
-            return False  # cubes must stay whole along x
+        if bx % T and T % bx:
+            return False  # x: whole cubes per block OR whole blocks per cube
         if by % T and T % by:
-            return False  # y: whole cubes per block OR whole blocks per cube
+            return False  # y: same commensurability along y
         if any(n % T for n in grid_res):
             return False
     return True
@@ -1022,7 +1057,7 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
         return monomials_xyz(ox, oy, oz, basis)
 
     kernel = _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn)
-    grid, (xspec, cspec), _ = _grid_and_specs(res, (7, N_COEFF), interpret)
+    grid, (xspec, cspec), _ = _grid_and_specs(res, (7, N_COEFF), interpret, T=T)
     mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     return pl.pallas_call(
         kernel,

@@ -175,6 +175,60 @@ def test_partial_y_blocks_match(monkeypatch, by):
     assert abs(float(pap) - pap_ref) < 1e-4 * max(abs(pap_ref), 1.0)
 
 
+@pytest.mark.parametrize("bx,by", [(4, 8), (4, 4), (8, 4)])
+def test_partial_xy_blocks_match(monkeypatch, bx, by):
+    """Tile larger than the block on x (the T=32/64 regime): partial-cube
+    moments accumulate across the xpb*ypb consecutive sub-grid steps of a
+    cube column (3-D grid in _grid_and_specs).  Forced here by shrinking
+    both block axes below the tile, and checked against the XLA apply and
+    the fused pAp pair."""
+    import polystokes_tpu.pallas_apply as pa
+    from polystokes_tpu.solver import make_apply, make_apply_packed, make_apply_packed_pap
+
+    grid, params, scene, cls, asm, R = _make(True)
+    monkeypatch.setattr(pa, "_blocks_for", lambda res: (bx, by))
+    assert pa.pallas_compatible(grid.res, params)  # T=8 is a multiple of bx/by
+    rng = np.random.default_rng(7)
+    x = PTau(
+        p=jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype),
+        tc=tuple(jnp.asarray(rng.standard_normal(grid.center_shape), params.dtype) for _ in range(3)),
+        te=tuple(jnp.asarray(rng.standard_normal(np.asarray(asm.uinv_e[e]).shape), params.dtype) for e in range(3)),
+    )
+    y_xla = make_apply(grid, cls, asm, params, R)(x)
+    y_pl = make_apply(grid, cls, asm, params.replace(use_pallas=True), R)(x)
+    scale = max(float(jnp.max(jnp.abs(y_xla.p))), 1.0)
+    assert float(jnp.max(jnp.abs(y_xla.p - y_pl.p))) < 1e-5 * scale
+    for a in range(3):
+        assert float(jnp.max(jnp.abs(y_xla.tc[a] - y_pl.tc[a]))) < 1e-5 * scale
+    for e in range(3):
+        assert float(jnp.max(jnp.abs(y_xla.te[e] - y_pl.te[e]))) < 1e-5 * scale
+
+    # fused pAp path under the same partial-cube sub-grid
+    from polystokes_tpu.deflation import packed_masks
+
+    pparams = params.replace(use_pallas=True)
+    xp = jnp.asarray(rng.standard_normal((7,) + tuple(grid.res)), params.dtype)
+    xp = xp * packed_masks(grid, cls, params.dtype)
+    y_sep = make_apply_packed(grid, cls, asm, pparams, R)(xp)
+    y_fused, pap = make_apply_packed_pap(grid, cls, asm, pparams, R)(xp)
+    assert float(jnp.max(jnp.abs(y_sep - y_fused))) < 1e-5 * scale
+    pap_ref = float(jnp.sum(xp * y_sep))
+    assert abs(float(pap) - pap_ref) < 1e-4 * max(abs(pap_ref), 1.0)
+
+
+def test_large_tile_compatible():
+    """pallas_compatible admits tiles LARGER than the block (whole blocks
+    per cube) and still rejects incommensurate sizes."""
+    import polystokes_tpu.pallas_apply as pa
+
+    grid, params, scene, cls, asm, R = _make(True)
+    # 128^3-style resolutions: blocks are (16, 16) or (16, 8)
+    assert pa.pallas_compatible((128, 128, 128), params.replace(tile_size=32))
+    assert pa.pallas_compatible((128, 128, 128), params.replace(tile_size=64))
+    assert pa.pallas_compatible((256, 256, 256), params.replace(tile_size=64))
+    assert not pa.pallas_compatible((128, 128, 128), params.replace(tile_size=24))
+
+
 def test_boundary_active_stat():
     from polystokes_tpu import step
 

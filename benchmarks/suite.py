@@ -11,6 +11,14 @@
      beats uniform on TPU wall-clock)
   8. uniform armadillo 256^3 (A/B partner for 5/9)
   9. single-region reduced armadillo 256^3
+  10. tiled honey_coil 128^3, tile 32
+  11. tiled honey_coil 128^3, tile 64
+  12. tiled armadillo 256^3, tile 64 (the reference's best published tile,
+      results/figures/Timings_ArmadilloDrop.png dark-blue curve)
+  13. tiled armadillo 256^3, tile 128
+
+Runs with --precond other than cell_arrow record under a suffixed config
+name so A/B preconditioner studies never overwrite the default records.
 
 Writes BENCH_SUITE.json (list of per-config records) — the analog of the
 reference's armadillo timing figures (results/figures/Timings_*.png).
@@ -26,11 +34,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_NAME_SUFFIX = ""  # set by main() for non-default preconditioner runs
+
+
 def run_config(name, grid, scene, params, segment_iters=1000):
     import jax
 
     from polystokes_tpu.solver import check_pallas, solve_chunked
 
+    name = name + _NAME_SUFFIX
     params = check_pallas(grid, scene, params)
 
     # chunked solve: every device execution stays bounded (the remote
@@ -109,6 +121,10 @@ def main():
     )
     records = []
 
+    if args.precond != "cell_arrow":
+        global _NAME_SUFFIX
+        _NAME_SUFFIX = "_" + args.precond
+
     if 1 in want:
         grid, scene = viscous_beam(n=64, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=False)
@@ -156,6 +172,23 @@ def main():
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
         records.append(run_config("single_region_armadillo_256", grid, scene, p))
+    if 10 in want:
+        grid, scene = honey_coil(n=128, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=32, tile_padding=2)
+        records.append(run_config("tiled_honey_coil_128_t32", grid, scene, p))
+    if 11 in want:
+        grid, scene = honey_coil(n=128, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=64, tile_padding=2)
+        records.append(run_config("tiled_honey_coil_128_t64", grid, scene, p))
+    if 12 in want:
+        # the reference's best published tile size (Timings_ArmadilloDrop)
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=64, tile_padding=2)
+        records.append(run_config("tiled_armadillo_256_t64", grid, scene, p))
+    if 13 in want:
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=128, tile_padding=2)
+        records.append(run_config("tiled_armadillo_256_t128", grid, scene, p))
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
     existing = []

@@ -55,6 +55,12 @@ class PreconditionerType(enum.Enum):
     DIAGONAL = "diagonal"
     CELL_ARROW = "cell_arrow"
     MULTIGRID = "multigrid"
+    # CELL_ARROW + the exact per-region boundary-face restriction of
+    # J^T BInv J via a Woodbury correction (precond.make_region_arrow) —
+    # the region-boundary-aware block targeting the reduced system's
+    # extra stiffness (spirit of lib/src/Preconditioner.cpp:30-158's
+    # exact reduced solve inside the block-GS smoother).
+    REGION_ARROW = "region_arrow"
 
 
 class BasisOrder(enum.Enum):

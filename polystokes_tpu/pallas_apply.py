@@ -697,6 +697,48 @@ def _finish_kernel(c7r, gr, ur, out_ref):
         out_ref[c] = gr[c] + contrib[c][itr]
 
 
+def _transpose_u_kernel(c7r, ur, out_ref):
+    """out = [G Dt]^T u (positive sign, no mass terms, no grid branch):
+    the transpose leg of the REGION_ARROW preconditioner's Woodbury
+    correction (solver.make_preconditioner_packed)."""
+    w = [ur[a] for a in range(3)]
+    contrib = _transpose_contrib(c7r, w)
+    itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+    for c in range(7):
+        out_ref[c] = contrib[c][itr]
+
+
+def transpose_u_packed(coeffs_padded, up, res, interpret=None):
+    """[G Dt]^T applied to face values up (slot space) -> packed [7,...]."""
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _blocks_for(res)
+    grid = (nx // bx, ny // by)
+
+    def halo_spec(c):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
+            lambda i, j: (0, i * bx, j * by, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    def plain_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        _transpose_u_kernel,
+        grid=grid,
+        in_specs=[halo_spec(7), halo_spec(3)],
+        out_specs=plain_spec(7),
+        out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), up.dtype),
+        interpret=interpret,
+        **_vmem_kwargs(interpret),
+    )(coeffs_padded, _pad_halo(up))
+
+
 def _pap_spec(interpret, nbx, nby):
     """Whole-array SMEM block written at [program_id] — Mosaic rejects
     sub-(8, 128) blocked specs, but a full-array scalar-memory block with

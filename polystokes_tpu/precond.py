@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from .classify import REDUCED
 from .config import PreconditionerType, SolverParams
 from .operators import Assembled, PTau, coeff_fields, face_at_cell, scatter_face_to_edge
-from .reduced import gather_com
+from .reduced import expand_J, gather_com, reduce_J
 
 
 def _diag_quadratic_form(grid, cls, asm, params, a):
@@ -105,16 +105,22 @@ def _diag_quadratic_form(grid, cls, asm, params, a):
     return jnp.where(red, q, 0.0)
 
 
-def _axis_cell_k_and_edge_diag(grid, cls, asm: Assembled, params: SolverParams):
+def _axis_cell_k_and_edge_diag(grid, cls, asm: Assembled, params: SolverParams, include_reduced_q: bool = True):
     """Per-axis cell coefficients k_a = sum_{f in faces_a(cell)} coeff^2*wgt
     and the edge-stress diagonals (both halves of |diag(A)| sans the uInv
-    mass terms)."""
+    mass terms).  `include_reduced_q=False` omits the reduced J^T BInv J
+    diagonal probe — used when that term is handled exactly elsewhere
+    (REGION_ARROW's Woodbury block)."""
     dt = asm.dt
     k = []
     te_d = [jnp.zeros_like(asm.uinv_e[e]) for e in range(3)]
     for a in range(3):
         c_lo, c_hi, erow = coeff_fields(asm, a)
-        q = _diag_quadratic_form(grid, cls, asm, params, a) if params.do_reduced_regions else 0.0
+        q = (
+            _diag_quadratic_form(grid, cls, asm, params, a)
+            if (params.do_reduced_regions and include_reduced_q)
+            else 0.0
+        )
         wgt = dt * asm.mc_inv[a] + q  # per-face scalar weight of coeff^2
         # cell's lower face carries the c_hi coefficient, upper face c_lo
         k.append(face_at_cell(c_hi**2 * wgt, a, 0) + face_at_cell(c_lo**2 * wgt, a, 1))
@@ -138,9 +144,9 @@ def _safe_inv(x):
     return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
-def cell_arrow_factors(grid, cls, asm: Assembled, params: SolverParams):
+def cell_arrow_factors(grid, cls, asm: Assembled, params: SolverParams, include_reduced_q: bool = True):
     """The arrow-block inverse factors (k, inv_d, kd, inv_schur, te_inv)."""
-    k, te_d = _axis_cell_k_and_edge_diag(grid, cls, asm, params)
+    k, te_d = _axis_cell_k_and_edge_diag(grid, cls, asm, params, include_reduced_q)
     h = 0.5 * asm.uinv_c
     inv_d = [_safe_inv(k[a] + h) for a in range(3)]
     # Schur complement of the p row: sum_a k_a - k_a^2/(k_a+h) = sum k_a*h/(k_a+h)
@@ -151,10 +157,7 @@ def cell_arrow_factors(grid, cls, asm: Assembled, params: SolverParams):
     return k, inv_d, kd, inv_schur, te_inv
 
 
-def make_cell_arrow(grid, cls, asm: Assembled, params: SolverParams):
-    """Closed-form inverse of the per-cell 4x4 arrow block (module doc)."""
-    k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
-
+def _arrow_solve_from(k, inv_d, kd, inv_schur, te_inv):
     def solve(r: PTau) -> PTau:
         z_p = (r.p + sum(kd[a] * r.tc[a] for a in range(3))) * inv_schur
         z_tc = tuple((r.tc[a] + k[a] * z_p) * inv_d[a] for a in range(3))
@@ -164,11 +167,84 @@ def make_cell_arrow(grid, cls, asm: Assembled, params: SolverParams):
     return solve
 
 
+def make_cell_arrow(grid, cls, asm: Assembled, params: SolverParams, include_reduced_q: bool = True):
+    """Closed-form inverse of the per-cell 4x4 arrow block (module doc)."""
+    return _arrow_solve_from(*cell_arrow_factors(grid, cls, asm, params, include_reduced_q))
+
+
+def region_schur_inv(grid, cls, asm: Assembled, params: SolverParams, R: int, arrow_solve):
+    """inv(S) with S_r = B_r + (U M0^-1 U^T)_rr — the Woodbury capacitance
+    of the REGION_ARROW preconditioner (U = J chi F: ptau -> region
+    coefficients; M0 = the arrow block).  Built by D probes: column d of
+    U M0^-1 U^T for EVERY region at once is reduce_J(F M0^-1 F^T chi J^T e_d)
+    (regions' stencil footprints are disjoint by the boundary-separation
+    hygiene, fixReducedRegionBoundaries — Classifier.cpp:1074-1172 — so the
+    capacitance is block-diagonal per region).  One lax.scan over the D
+    probes keeps the compiled program size constant."""
+    from .linalg import inv_spd
+    from .operators import forward_face_values, transpose_from_faces
+
+    D = params.reduced_dof
+    dtype = params.dtype
+    eyeD = jnp.eye(D, dtype=dtype)
+
+    def probe(_, d):
+        w = jnp.broadcast_to(eyeD[d][None, :], (R, D))
+        u = expand_J(grid, cls, asm.com, w, params)  # chi J^T e_d rows
+        g = transpose_from_faces(asm, u)  # F^T
+        y = arrow_solve(g)  # M0^-1
+        s = forward_face_values(asm, y)  # F
+        col = reduce_J(grid, cls, asm.com, s, params, R)  # J chi
+        return None, col
+
+    _, cols = jax.lax.scan(probe, None, jnp.arange(D))
+    C = jnp.transpose(cols, (1, 2, 0))  # [R, D, D], cols[d] -> column d
+    C = 0.5 * (C + jnp.transpose(C, (0, 2, 1)))
+    B = asm.mr / asm.dt + 2.0 * asm.vr
+    valid = asm.region_valid
+    S = jnp.where(valid[:, None, None], B + C, eyeD)
+    sinv = inv_spd(S)
+    return jnp.where(valid[:, None, None], sinv, 0.0)
+
+
+def make_region_arrow(grid, cls, asm: Assembled, params: SolverParams):
+    """REGION_ARROW: the arrow block plus the exact per-region boundary
+    restriction of J^T BInv J, applied via the Woodbury identity
+
+      M = M0 + U^T BInv U,
+      M^-1 r = y - M0^-1 U^T S^-1 U y,   y = M0^-1 r,
+      S = B + U M0^-1 U^T  (per-region [D, D], see region_schur_inv).
+
+    M0 here EXCLUDES the reduced-diagonal probe (include_reduced_q=False):
+    the Woodbury term carries the whole reduced coupling, so the arrow
+    approximates only the grid branch + mass terms."""
+    from .operators import forward_face_values, transpose_from_faces
+
+    if not params.do_reduced_regions:
+        return make_cell_arrow(grid, cls, asm, params)
+    R = asm.binv.shape[0]
+    arrow = make_cell_arrow(grid, cls, asm, params, include_reduced_q=False)
+    sinv = region_schur_inv(grid, cls, asm, params, R, arrow)
+
+    def solve(r: PTau) -> PTau:
+        y = arrow(r)
+        s = forward_face_values(asm, y)
+        m = reduce_J(grid, cls, asm.com, s, params, R)  # U y
+        w = jnp.einsum("rij,rj->ri", sinv, m)
+        u = expand_J(grid, cls, asm.com, w, params)  # chi J^T w
+        g = transpose_from_faces(asm, u)
+        return y - arrow(g)
+
+    return solve
+
+
 def make_preconditioner(grid, cls, asm: Assembled, params: SolverParams):
     if params.preconditioner == PreconditionerType.IDENTITY:
         return None
     if params.preconditioner == PreconditionerType.CELL_ARROW:
         return make_cell_arrow(grid, cls, asm, params)
+    if params.preconditioner == PreconditionerType.REGION_ARROW:
+        return make_region_arrow(grid, cls, asm, params)
     if params.preconditioner == PreconditionerType.MULTIGRID:
         from .multigrid import make_multigrid
 

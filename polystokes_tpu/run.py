@@ -35,7 +35,7 @@ def build_argparser():
     p.add_argument("--affine", action="store_true", help="11-DOF affine basis")
     p.add_argument("--fp64", action="store_true")
     p.add_argument("--precond", default="identity",
-                   choices=["identity", "diagonal", "cell_arrow", "multigrid"],
+                   choices=["identity", "diagonal", "cell_arrow", "multigrid", "region_arrow"],
                    help="device preconditioner (PreconditionerType)")
     p.add_argument("--diag-precond", action="store_true", help="alias for --precond diagonal")
     p.add_argument("--deflation", action="store_true",

@@ -328,11 +328,11 @@ def check_pallas(grid: Grid, scene: Scene, params: SolverParams) -> SolverParams
     return params
 
 
-def _region_algebra_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int):
+def _region_algebra_packed(grid: Grid, cls: Classification, asm: Assembled, params: SolverParams, R: int, matrix=None):
     """The tiny per-cube region algebra between the moments and expand
     kernels: mom [cs0, cs1, 3K, cs2] -> v_arr [cs0, cs1, 3K, cs2] (cube-
-    origin-basis polynomial coefficients of BInv J x), plus the reduced-
-    face mask stack the kernels gate on."""
+    origin-basis polynomial coefficients of `matrix` @ (J x), default
+    matrix = BInv), plus the reduced-face mask stack the kernels gate on."""
     from .basis import monomial_matrix, monomial_shift_matrix, n_monomials
     from .reduced import _cube_scatter
 
@@ -369,12 +369,14 @@ def _region_algebra_packed(grid: Grid, cls: Classification, asm: Assembled, para
         # 0/1 mask values are exact in bf16; halves the expand pass's read
         red_packed = red_packed.astype(jnp.bfloat16)
 
+    mtx = asm.binv if matrix is None else matrix
+
     def algebra(mom):
         m = jnp.transpose(mom, (0, 1, 3, 2)).reshape(-1, 3, K)  # [nc, 3, K] raw
         m_rel = jnp.einsum("ckj,caj->cak", S, m)
         y = sum(m_rel[:, a, :] @ A_mats[a].T for a in range(3))  # [nc, D]
         yR = _cube_scatter(y, cls.region_of_cube, R)
-        w = jnp.einsum("rij,rj->ri", asm.binv, yR)
+        w = jnp.einsum("rij,rj->ri", mtx, yR)
         w_cube = w[safe_cube] * cube_ok[:, None]  # [nc, D]
         v_com = jnp.stack([w_cube @ A_mats[a] for a in range(3)], axis=1)  # [nc, 3, K]
         v_origin = jnp.einsum("ckj,cak->caj", S, v_com)
@@ -478,15 +480,24 @@ def precond_factors_packed(grid: Grid, cls: Classification, asm: Assembled, para
 
     if params.preconditioner == PreconditionerType.IDENTITY:
         return None
-    if params.preconditioner == PreconditionerType.CELL_ARROW:
-        from .precond import cell_arrow_factors
+    if params.preconditioner in (PreconditionerType.CELL_ARROW, PreconditionerType.REGION_ARROW):
+        from .precond import _arrow_solve_from, cell_arrow_factors, region_schur_inv
 
-        k, inv_d, kd, inv_schur, te_inv = cell_arrow_factors(grid, cls, asm, params)
+        region = (
+            params.preconditioner == PreconditionerType.REGION_ARROW
+            and params.do_reduced_regions
+        )
+        fac = cell_arrow_factors(grid, cls, asm, params, include_reduced_q=not region)
+        k, inv_d, kd, inv_schur, te_inv = fac
         te_inv_s = [_edge_to_slot(te_inv[e], e) for e in range(3)]
-        return dict(
+        out = dict(
             k=list(k), inv_d=list(inv_d), kd=list(kd),
             inv_schur=inv_schur, te_inv_s=te_inv_s,
         )
+        if region:
+            R = asm.binv.shape[0]
+            out["sinv"] = region_schur_inv(grid, cls, asm, params, R, _arrow_solve_from(*fac))
+        return out
     from .precond import _safe_inv, schur_diagonal
 
     d = schur_diagonal(grid, cls, asm, params)
@@ -549,7 +560,7 @@ def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, 
         return None
     if factors is None:
         factors = precond_factors_packed(grid, cls, asm, params)
-    if params.preconditioner == PreconditionerType.CELL_ARROW:
+    if params.preconditioner in (PreconditionerType.CELL_ARROW, PreconditionerType.REGION_ARROW):
         k, inv_d, kd = factors["k"], factors["inv_d"], factors["kd"]
         inv_schur, te_inv_s = factors["inv_schur"], factors["te_inv_s"]
 
@@ -559,7 +570,29 @@ def make_preconditioner_packed(grid: Grid, cls: Classification, asm: Assembled, 
             z_te = [rp[4 + e] * te_inv_s[e] for e in range(3)]
             return jnp.stack([z_p] + z_tc + z_te, axis=0)
 
-        return solve_arrow
+        if "sinv" not in factors:
+            return solve_arrow
+
+        # REGION_ARROW's Woodbury correction on the packed layout:
+        # z = y - M0^-1 F^T chi J^T S^-1 J chi F y, y = M0^-1 r — the
+        # moments/expand legs reuse the fused reduced-apply kernels.
+        from .pallas_apply import _pad_halo, expand_packed, moments_packed, pack_coeffs, transpose_u_packed
+
+        R = asm.binv.shape[0]
+        T = params.tile_size
+        storage = jnp.bfloat16 if params.coeff_bf16 else None
+        coeffs = pack_coeffs(asm, cls, storage_dtype=storage)
+        algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R, matrix=factors["sinv"])
+
+        def solve_region(rp):
+            y = solve_arrow(rp)
+            mom = moments_packed(_pad_halo(y), coeffs, grid.res, T, params.basis)
+            v = algebra(mom)
+            up = expand_packed(v, red_packed, grid.res, T, params.basis)
+            g = transpose_u_packed(coeffs, up, grid.res)
+            return y - solve_arrow(g)
+
+        return solve_region
 
     inv_packed = factors["inv_packed"]
 

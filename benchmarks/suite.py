@@ -16,6 +16,14 @@
   12. tiled armadillo 256^3, tile 64 (the reference's best published tile,
       results/figures/Timings_ArmadilloDrop.png dark-blue curve)
   13. tiled armadillo 256^3, tile 128
+  14. uniform armadillo_si 256^3 (SI parameters: the reference's own
+      stiffness regime, lambda ~1.1e3 — configs 5/8/9 run at lambda
+      ~2.7e4, 25x stiffer than any reference scene)
+  15. single-region reduced armadillo_si 256^3
+  16. tiled armadillo_si 256^3, tile 16
+  17. tiled armadillo_si 256^3, tile 64
+  18. tiled armadillo_si 256^3, tile 8 (the round-2 batched-LU-chunking
+      record: 32^3 = 32768 cubes of [26, 26] through linalg._map_chunked)
 
 Runs with --precond other than cell_arrow record under a suffixed config
 name so A/B preconditioner studies never overwrite the default records.
@@ -40,9 +48,10 @@ _NAME_SUFFIX = ""  # set by main() for non-default preconditioner runs
 def run_config(name, grid, scene, params, segment_iters=1000):
     import jax
 
-    from polystokes_tpu.solver import check_pallas, solve_chunked
+    from polystokes_tpu.solver import check_pallas, sample_density, solve_chunked
 
     name = name + _NAME_SUFFIX
+    params = sample_density(scene, params)
     params = check_pallas(grid, scene, params)
 
     # chunked solve: every device execution stays bounded (the remote
@@ -189,6 +198,25 @@ def main():
         grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
         p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=128, tile_padding=2)
         records.append(run_config("tiled_armadillo_256_t128", grid, scene, p))
+    if want & {14, 15, 16, 17, 18}:
+        from polystokes_tpu.scenes.builders import armadillo_melt_si
+
+        grid_si, scene_si = armadillo_melt_si(n=256, dtype=jnp.float32)
+        if 14 in want:
+            p = SolverParams(**base, do_reduced_regions=False)
+            records.append(run_config("uniform_armadillo_si_256", grid_si, scene_si, p))
+        if 15 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+            records.append(run_config("single_region_armadillo_si_256", grid_si, scene_si, p))
+        if 16 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+            records.append(run_config("tiled_armadillo_si_256", grid_si, scene_si, p))
+        if 17 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=64, tile_padding=2)
+            records.append(run_config("tiled_armadillo_si_256_t64", grid_si, scene_si, p))
+        if 18 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=8, tile_padding=2)
+            records.append(run_config("tiled_armadillo_si_256_t8", grid_si, scene_si, p))
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
     existing = []

@@ -13,10 +13,14 @@ Per frame:  P2G transfer -> gravity -> Stokes solve (polystokes step)
             -> particle surface rebuild (SDF)
 
 TPU-first design choices:
-- FIXED particle count (static shapes): seeding fills a [P, 3] buffer
-  once on the host; an `alive` mask handles underfill.  No reseeding —
-  a documented deviation from Houdini's adaptive reseeding (dynamic
-  counts cannot be jitted; the particle budget is chosen at seed time).
+- FIXED particle buffer (static shapes) with ADAPTIVE RECYCLING inside
+  it: the total slot budget is chosen at seed time, but each frame kills
+  particles that escaped the liquid and reseeds under-dense liquid cells
+  from the dead-slot pool (`reseed`, all static-shape: per-cell deficits
+  -> cumsum -> searchsorted slot assignment).  This is the TPU analog of
+  Houdini's adaptive reseeding; the remaining deviation is that the
+  GLOBAL budget is fixed — a uniformly growing liquid volume saturates
+  the pool (overfull cells are bounded by the budget, not thinned).
 - P2G is 8 vectorized scatter-adds per axis (the trilinear corners) into
   the MAC face grids — XLA lowers `.at[].add` to native TPU scatters.
 - G2P/advection are gathers (`_trilinear`), fully batched over P.
@@ -191,7 +195,94 @@ def surface_from_particles(state: FlipState, grid: Grid, radius: float = 0.9, sw
     return phi_cells * jnp.asarray(grid.dx, dtype)
 
 
-@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis"))
+# R3 low-discrepancy constants (plastic-number sequence): deterministic
+# in-cell jitter for reseeded particles without threading an RNG key
+_R3 = (0.8191725133961645, 0.6710436067037893, 0.5497004779019703)
+
+
+def _cell_counts(state: FlipState, res):
+    idx = jnp.clip(
+        jnp.round(state.pos - 0.5).astype(jnp.int32), 0, jnp.asarray([n - 1 for n in res])
+    )
+    cnt = jnp.zeros(res, state.alive.dtype).at[idx[:, 0], idx[:, 1], idx[:, 2]].add(state.alive)
+    return cnt, idx
+
+
+def reseed(
+    state: FlipState,
+    grid: Grid,
+    surface_sdf,
+    vel,
+    frame_idx,
+    min_ppc: float = 3.0,
+    target_ppc: int = 8,
+    kill_dist_cells: float = 1.5,
+    interior_margin_cells: float = 1.0,
+) -> FlipState:
+    """Adaptive particle recycling within the fixed slot budget (the TPU
+    analog of Houdini's FLIP reseeding, which the reference's host loop
+    relies on — reference README.md:26-28):
+
+      1. kill particles that escaped the liquid (sampled SDF > kill_dist)
+      2. refill liquid cells with fewer than `min_ppc` live particles up
+         to `target_ppc`, assigning dead slots to deficit cells by rank
+         (cumsum over per-cell deficits + searchsorted — static shapes)
+
+    New particles get a low-discrepancy in-cell jitter (no RNG key) and
+    the grid velocity at their position.  When total deficit exceeds the
+    dead pool, cells earlier in lexicographic order fill first."""
+    dtype = state.pos.dtype
+    res = grid.res
+    dx = jnp.asarray(grid.dx, dtype)
+
+    # 1. kill escapees
+    phi_p = _trilinear(surface_sdf.astype(dtype), state.pos[:, 0] - 0.5, state.pos[:, 1] - 0.5, state.pos[:, 2] - 0.5)
+    alive = state.alive * (phi_p < kill_dist_cells * dx).astype(dtype)
+    state = dataclasses.replace(state, alive=alive)
+
+    # 2. per-cell deficits over STRICTLY INTERIOR liquid cells (margin
+    # keeps the refill off the SDF's smoothing shell around the particle
+    # cloud — refilling phi ~ -0.4dx shell cells would inflate the liquid
+    # by one cell per frame through the occupancy -> surface feedback)
+    cnt, _ = _cell_counts(state, res)
+    liquid = surface_sdf < -interior_margin_cells * dx
+    need = jnp.where(liquid & (cnt < min_ppc), jnp.asarray(float(target_ppc), dtype) - cnt, 0.0)
+    need = jnp.maximum(jnp.round(need), 0.0).astype(jnp.int32).reshape(-1)
+    cum = jnp.cumsum(need)
+    total_need = cum[-1]
+
+    # dead-slot ranks (0-based among dead slots)
+    dead = alive <= 0
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+    fill = dead & (rank < total_need)
+
+    # target cell of each filled slot: first cell whose cumulative need
+    # interval contains the slot's rank
+    cell_flat = jnp.searchsorted(cum, rank, side="right")
+    cell_flat = jnp.clip(cell_flat, 0, need.shape[0] - 1)
+    cz = cell_flat % res[2]
+    cy = (cell_flat // res[2]) % res[1]
+    cx = cell_flat // (res[1] * res[2])
+
+    # in-cell low-discrepancy jitter keyed by (slot, within-cell ordinal,
+    # frame): u = fract(seq * R3); scaled into the cell's interior
+    ordinal = rank - jnp.where(cell_flat > 0, cum[cell_flat - 1], 0)
+    seq = (
+        ordinal.astype(dtype)[:, None]
+        + jnp.asarray(frame_idx, dtype) * jnp.asarray(target_ppc + 1, dtype)
+    )
+    u = jnp.mod(seq * jnp.asarray(_R3, dtype)[None, :], 1.0)
+    new_pos = jnp.stack([cx, cy, cz], axis=-1).astype(dtype) + 0.1 + 0.8 * u
+
+    pos = jnp.where(fill[:, None], new_pos, state.pos)
+    uvel = _velocity_at(vel, pos[:, 0], pos[:, 1], pos[:, 2])
+    new_vel = jnp.stack(uvel, axis=-1)
+    velp = jnp.where(fill[:, None], new_vel, state.vel)
+    alive = jnp.where(fill, jnp.asarray(1.0, dtype), alive)
+    return FlipState(pos=pos, vel=velp, alive=alive)
+
+
+@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis", "do_reseed"))
 def flip_frame(
     grid: Grid,
     scene: Scene,
@@ -200,8 +291,12 @@ def flip_frame(
     gravity: float = -9.8,
     gravity_axis: int = 2,
     alpha: float = 0.95,
+    do_reseed: bool = False,
+    frame_idx=0,
 ):
-    """One FLIP frame.  Returns (scene', state', stats)."""
+    """One FLIP frame.  Returns (scene', state', stats).  With `do_reseed`
+    the frame ends with a kill + refill pass over the advected particles
+    (see `reseed`) against the post-advection particle surface."""
     dtype = params.dtype
     dt = scene.dt
     dt_over_dx = dt / jnp.asarray(grid.dx, dtype)
@@ -221,6 +316,9 @@ def flip_frame(
 
     state = g2p_flip(state, vel_old, new_vel, alpha)
     state = advect_particles(state, new_vel, dt_over_dx, grid.res)
+    if do_reseed:
+        surf2 = surface_from_particles(state, grid, dtype=dtype)
+        state = reseed(state, grid, surf2, new_vel, frame_idx)
     out = dataclasses.replace(scene, velocity=new_vel)
     return out, state, stats
 
@@ -235,13 +333,18 @@ def simulate_flip(
     alpha: float = 0.95,
     seed: int = 0,
     callback=None,
+    do_reseed: bool = True,
 ):
     """Run `frames` FLIP frames from `scene` (particles seeded from its
-    surface SDF).  Returns (final scene, final state, list of stats)."""
+    surface SDF).  Returns (final scene, final state, list of stats).
+    Adaptive recycling (`reseed`) is on by default, matching the Houdini
+    host loop the reference assumes."""
     state = seed_particles(grid, scene.surface_sdf, max_particles, seed=seed, dtype=params.dtype)
     all_stats = []
     for k in range(frames):
-        scene, state, stats = flip_frame(grid, scene, state, params, gravity, alpha=alpha)
+        scene, state, stats = flip_frame(
+            grid, scene, state, params, gravity, alpha=alpha, do_reseed=do_reseed, frame_idx=k
+        )
         all_stats.append({m: v for m, v in stats.items()})
         if callback is not None:
             callback(k, scene, state, stats)

@@ -65,12 +65,32 @@ def shard_scene(scene, mesh: Mesh):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), scene, sh)
 
 
+def check_mesh_pallas(params, mesh: Mesh):
+    """The packed Pallas kernels are single-device programs (halo windows
+    over a pre-padded whole-grid array); they are NOT shard_map'ed over a
+    mesh.  Under a >1-device mesh, disable use_pallas with a warning so
+    the solve runs the exact (GSPMD-partitionable) XLA apply instead of
+    tracing a Pallas call into a partitioned program."""
+    if params.use_pallas and mesh.size > 1:
+        import warnings
+
+        warnings.warn(
+            f"use_pallas requested under a {mesh.size}-device mesh; the packed "
+            "kernels are single-device (not shard_map'ed) — falling back to "
+            "the XLA apply for the sharded solve",
+            stacklevel=2,
+        )
+        return params.replace(use_pallas=False)
+    return params
+
+
 def sharded_step(grid, params, mesh: Mesh):
     """A jitted step whose inputs are sharded over the mesh.  XLA/GSPMD
     partitions the stencil work per shard and inserts ICI halo collectives
     for the +-1 shifts."""
     from ..solver import step
 
+    params = check_mesh_pallas(params, mesh)
     sh = scene_shardings(mesh)
     return jax.jit(
         lambda scene: step(grid, scene, params),

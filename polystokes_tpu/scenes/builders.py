@@ -163,6 +163,22 @@ def jelly_jam_si(n: int = 64, dtype=jnp.float32, viscosity: float = 400.0, densi
     return grid, scene
 
 
+def armadillo_melt_si(n: int = 256, dtype=jnp.float32, viscosity: float = 400.0, density: float = 1000.0, dt: float = 1 / 24) -> Tuple[Grid, Scene]:
+    """armadillo_melt at the reference's SI parameter regime (the same
+    viscosity/density the jelly_jam scene file carries: 400 kg/(m s),
+    1000 kg/m^3 — scenes/jelly_jam/reduced/jelly_jam.hipnc).  lambda =
+    mu dt / (rho dx^2) is ~1.1e3 at n=256: the production-scale stiffness
+    the reference's armadillo timing figures were generated at
+    (Timings_ArmadilloDrop.png).  The rho=1 `armadillo_melt` above sits at
+    lambda ~ 2.7e4 at 256^3 — 25x stiffer than any reference scene — where
+    tiled-reduced CG iteration counts blow up (see BENCH.md)."""
+    grid, scene = armadillo_melt(n=n, dtype=dtype, viscosity=viscosity, dt=dt)
+    import dataclasses
+
+    scene = dataclasses.replace(scene, density=jnp.full(grid.res, density, dtype))
+    return grid, scene
+
+
 def conveyor_belt(n: int = 64, dtype=jnp.float32, viscosity: float = 15.0, dt: float = 1 / 24, belt_speed: float = 0.5) -> Tuple[Grid, Scene]:
     """Liquid blob resting ON a moving solid belt: nonzero collision
     velocity coupling through the solid-boundary RHS terms.  The blob

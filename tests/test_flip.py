@@ -107,6 +107,102 @@ def test_seed_and_surface_sign():
     assert abs(phi_np[8, 8, 4]) < 2.5 * grid.dx
 
 
+@pytest.mark.quick
+def test_reseed_refills_stretched_sheet():
+    """A liquid sheet stretched by a divergent flow keeps bounded particle
+    density when recycling is on: after repeated stretch + reseed rounds
+    every interior liquid cell holds >= min_ppc live particles, while the
+    same loop WITHOUT reseeding leaves under-dense cells (the adaptive-
+    reseeding behavior of the reference's Houdini host loop)."""
+    import dataclasses
+
+    from polystokes_tpu.flip import reseed
+
+    import jax
+    from functools import partial
+
+    grid = _grid(32)
+    n = 32
+    x = (jnp.arange(n, dtype=jnp.float32)) / n
+    X, Y, Z = jnp.meshgrid(x, x, x, indexing="ij")
+    # a block centered in x (so stretching never hits the domain walls),
+    # slab-bounded in z, full extent in y
+    sdf0 = jnp.maximum(jnp.maximum(0.35 - Z, Z - 0.65), jnp.abs(X - 0.5) - 0.15)
+    st0 = seed_particles(grid, sdf0, max_particles=1 << 17, seed=2)
+
+    # stretching map: x' = c + (x - c) * (1 + s) pulls the sheet apart
+    s = 0.12
+    c = n / 2.0
+    vel = (
+        jnp.zeros((n + 1, n, n), jnp.float32),
+        jnp.zeros((n, n + 1, n), jnp.float32),
+        jnp.zeros((n, n, n + 1), jnp.float32),
+    )
+
+    @partial(jax.jit, static_argnames=("do_reseed",))
+    def one_round(st, k, do_reseed):
+        newx = c + (st.pos[:, 0] - c) * (1.0 + s)
+        pos = st.pos.at[:, 0].set(jnp.clip(newx, 0.01, n - 0.01))
+        st = dataclasses.replace(st, pos=pos)
+        surf = surface_from_particles(st, grid)
+        if do_reseed:
+            st = reseed(st, grid, surf, vel, k, min_ppc=3.0, target_ppc=6)
+        return st, surf
+
+    def stretch(st, rounds, do_reseed):
+        for k in range(rounds):
+            st, surf = one_round(st, jnp.int32(k), do_reseed)
+        return st, surf
+
+    def liquid_cell_counts(st, surf):
+        from polystokes_tpu.flip import _cell_counts
+
+        cnt, _ = _cell_counts(st, grid.res)
+        # interior liquid cells (strictly inside: away from the surface)
+        interior = np.asarray(surf) < -1.5 * grid.dx
+        return np.asarray(cnt)[interior], interior
+
+    st_r, surf_r = stretch(st0, 8, do_reseed=True)
+    counts_r, interior_r = liquid_cell_counts(st_r, surf_r)
+    assert interior_r.sum() > 100
+    assert counts_r.min() >= 3.0, f"reseeded min density {counts_r.min()}"
+
+    st_n, surf_n = stretch(st0, 8, do_reseed=False)
+    counts_n, interior_n = liquid_cell_counts(st_n, surf_n)
+    assert counts_n.min() < 3.0, "stretching should under-fill without reseeding"
+
+    # the budget is respected: alive never exceeds the slot count
+    assert float(jnp.sum(st_r.alive)) <= st_r.pos.shape[0]
+
+
+@pytest.mark.quick
+def test_reseed_kills_escapees():
+    """Particles outside the liquid are culled and their slots become
+    available for refill."""
+    from polystokes_tpu.flip import reseed
+
+    grid = _grid(16)
+    n = 16
+    x = jnp.arange(n, dtype=jnp.float32) / n
+    X, Y, Z = jnp.meshgrid(x, x, x, indexing="ij")
+    sdf = jnp.maximum(0.3 - Z, Z - 0.7)  # slab in z
+    # two particles: one deep inside the slab, one far outside (z ~ 1)
+    pos = jnp.asarray([[8.0, 8.0, 8.0], [8.0, 8.0, 15.5]], jnp.float32)
+    st = FlipState(pos=pos, vel=jnp.zeros((2, 3), jnp.float32), alive=jnp.ones(2, jnp.float32))
+    vel = (
+        jnp.zeros((n + 1, n, n), jnp.float32),
+        jnp.zeros((n, n + 1, n), jnp.float32),
+        jnp.zeros((n, n, n + 1), jnp.float32),
+    )
+    st2 = reseed(st, grid, sdf, vel, 0, min_ppc=0.5, target_ppc=1)
+    alive = np.asarray(st2.alive)
+    # the escapee's slot was either killed or recycled into a liquid cell
+    pos2 = np.asarray(st2.pos)
+    if alive[1] > 0:
+        zc = pos2[1, 2]
+        assert 0.3 * n - 1.5 < zc < 0.7 * n + 1.5, f"recycled slot outside liquid (z={zc})"
+
+
 def test_flip_frame_integration():
     """Two FLIP frames on a small scene: runs jitted end-to-end, keeps
     velocities finite, keeps particles inside the domain, and the surface

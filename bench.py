@@ -1,6 +1,13 @@
 #!/usr/bin/env python
-"""Benchmark: one tiled-reduced Stokes step on the honey_coil scene at
-128^3 (the BASELINE.json north-star metric), on the real TPU chip.
+"""Benchmark: one reduced Stokes step on the honey_coil scene at 128^3
+(the BASELINE.json north-star metric), on the real TPU chip.
+
+The measured configuration is the framework's best reduced mode for this
+scene: UNTILED reduced regions (do_tile off, packed path via cube-aligned
+general regions) — the configuration BENCH.md recommends and the analog
+of the reference's reduced-without-tiling mode.  Until round 3 this
+script pinned the tiled-16 config instead; set BENCH_CONFIG=tiled to
+reproduce that series (the round-over-round r01-r03 values).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, ...}
@@ -45,12 +52,15 @@ def main():
     from polystokes_tpu.config import PreconditionerType
     from polystokes_tpu.scenes.builders import honey_coil
 
+    config = os.environ.get("BENCH_CONFIG", "single")  # single (untiled) | tiled
+    tiled = config == "tiled"
     params = SolverParams(
         dtype=jnp.float32,
         do_reduced_regions=True,
-        do_tile=True,
+        do_tile=tiled,
         tile_size=16,
         tile_padding=2,
+        **({} if tiled else {"max_regions": 64}),
         tolerance=1e-3,  # reference default; criterion rre < tol^2
         max_iterations=iters_cap,
         bicgstab_fallback=False,
@@ -80,11 +90,12 @@ def main():
     err = float(stats["error"])
     print(f"tpu step: {step_time:.3f}s iters={iters} err={err:.3e}", file=sys.stderr, flush=True)
 
-    cpu_s = _cpu_baseline(n, grid, scene, params, iters)
+    cpu_s = _cpu_baseline(n, grid, scene, params, iters, config)
     vs_baseline = cpu_s / step_time if np.isfinite(cpu_s) else float("nan")
 
+    kind = "tiled-reduced" if tiled else "untiled-reduced"
     out = {
-        "metric": f"honey_coil {n}^3 tiled-reduced Stokes step wall-clock",
+        "metric": f"honey_coil {n}^3 {kind} Stokes step wall-clock",
         "value": round(step_time, 4),
         "unit": "s",
         "vs_baseline": round(vs_baseline, 2),
@@ -99,11 +110,11 @@ def main():
     print(json.dumps(out))
 
 
-def _cpu_baseline(n, grid, scene, params, tpu_iters):
+def _cpu_baseline(n, grid, scene, params, tpu_iters, config="tiled"):
     """Cache the CPU setup time and per-iteration cost (iteration-count
     independent); extrapolate to this run's iteration count at read time."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
-    key = f"honey_coil_{n}"
+    key = f"honey_coil_{n}" if config == "tiled" else f"honey_coil_{n}_{config}"
     data = {}
     if os.path.exists(cache):
         with open(cache) as f:

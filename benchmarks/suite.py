@@ -24,6 +24,9 @@
   17. tiled armadillo_si 256^3, tile 64
   18. tiled armadillo_si 256^3, tile 8 (the round-2 batched-LU-chunking
       record: 32^3 = 32768 cubes of [26, 26] through linalg._map_chunked)
+  19. fp64 single-region honey_coil 64^3 (reference precision parity,
+      units.h:21; XLA apply path + unrolled SPD Cholesky)
+  20. tiled armadillo 256^3, tile 8 (toy-stiffness partner of 18)
 
 Runs with --precond other than cell_arrow record under a suffixed config
 name so A/B preconditioner studies never overwrite the default records.
@@ -85,7 +88,22 @@ def run_config(name, grid, scene, params, segment_iters=1000):
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(rec), flush=True)
+    # merge into BENCH_SUITE.json immediately — a crash in a later config
+    # must not lose completed records
+    _merge_records([rec])
     return rec
+
+
+def _merge_records(records):
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    names = {r["config"] for r in records}
+    existing = [r for r in existing if r.get("config") not in names]
+    with open(out, "w") as f:
+        json.dump(existing + records, f, indent=2)
 
 
 def main():
@@ -100,6 +118,9 @@ def main():
     want = {int(c) for c in args.configs.split(",")}
 
     import jax
+
+    if 19 in want:
+        jax.config.update("jax_enable_x64", True)
 
     cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))
     try:
@@ -217,17 +238,24 @@ def main():
         if 18 in want:
             p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=8, tile_padding=2)
             records.append(run_config("tiled_armadillo_si_256_t8", grid_si, scene_si, p))
+    if 19 in want:
+        # fp64 end-to-end record (the reference runs double everywhere,
+        # lib/include/units.h:21).  XLA apply path — the Pallas kernels are
+        # f32; f64 batched factorization runs the unrolled SPD Cholesky
+        # (linalg.solve_spd) on TPU's emulated doubles.
+        grid, scene = honey_coil(n=64, dtype=jnp.float64)
+        p = SolverParams(**{**base, "dtype": jnp.float64, "use_pallas": False},
+                         do_reduced_regions=True, do_tile=False, max_regions=64)
+        records.append(run_config("single_region_honey_coil_64_f64", grid, scene, p))
+    if 20 in want:
+        # tile-8 at production scale (round-2 ask): 32^3 = 32768 cubes of
+        # [26, 26] through linalg._map_chunked
+        grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+        p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=8, tile_padding=2)
+        records.append(run_config("tiled_armadillo_256_t8", grid, scene, p))
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SUITE.json")
-    existing = []
-    if os.path.exists(out):
-        with open(out) as f:
-            existing = json.load(f)
-    names = {r["config"] for r in records}
-    existing = [r for r in existing if r.get("config") not in names]
-    with open(out, "w") as f:
-        json.dump(existing + records, f, indent=2)
-    print(f"wrote {out}", flush=True)
+    _merge_records(records)
+    print("wrote BENCH_SUITE.json", flush=True)
 
 
 if __name__ == "__main__":

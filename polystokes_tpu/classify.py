@@ -312,19 +312,28 @@ def _numpy_cc(labels, fwx, fwy, fwz):
 def compact_regions(comp, max_regions: int):
     """Map arbitrary component labels to dense region slots [0, max_regions).
 
+    Component labels are min-linear-indices in [0, comp.size) (the CC
+    propagation's fixed point), so the dense relabel is a presence
+    scatter + prefix sum over the linear index space — replacing the
+    former jnp.unique sort, which cost ~1.5 s alone at 256^3 (the full
+    16.7M-element sort dominated classify).  Slot order (increasing
+    component label) matches the sorted order the unique path produced.
+
     Returns (region_ids, region_valid, n_regions, overflowed).
     """
     n = comp.size
-    big = jnp.int32(2**30)
-    vals = jnp.where(comp >= 0, comp, big)
-    uniq = jnp.unique(vals.ravel(), size=max_regions + 1, fill_value=big)
-    slots = uniq[:max_regions]
-    region_valid = slots < big
-    n_regions = jnp.sum(region_valid).astype(jnp.int32)
-    pos = jnp.searchsorted(uniq, vals)
+    flat = comp.ravel()
+    ok = flat >= 0
+    # presence flags over the linear index space; scatter then prefix-sum
+    present = jnp.zeros((n,), jnp.int32).at[jnp.where(ok, flat, 0)].max(ok.astype(jnp.int32))
+    first_rank = jnp.cumsum(present) - present  # rank of each label value
+    n_regions_total = first_rank[-1] + present[-1]
+    pos = first_rank[jnp.clip(flat, 0, n - 1)].reshape(comp.shape)
     region_ids = jnp.where((comp >= 0) & (pos < max_regions), pos.astype(jnp.int32), INVALID_REGION)
+    n_regions = jnp.minimum(n_regions_total, max_regions).astype(jnp.int32)
+    region_valid = jnp.arange(max_regions, dtype=jnp.int32) < n_regions
     # overflow: some component label didn't fit into max_regions slots
-    overflowed = jnp.any((comp >= 0) & (pos >= max_regions))
+    overflowed = n_regions_total > max_regions
     return region_ids, region_valid, n_regions, overflowed
 
 
@@ -380,6 +389,21 @@ def cell_cube_ids(shape, tile_size: int):
     return idx, cs
 
 
+def _cube_min(arr, tile_size: int, cs, fill):
+    """Per-cube min of a cell array -> [ncubes], axis-at-a-time reshape
+    reductions (no scatter; the cube-reduction analog of
+    reduced.block_sum).  `fill` pads ragged extents."""
+    x = arr
+    pads = [(0, cs[i] * tile_size - x.shape[i]) for i in range(3)]
+    if any(p[1] for p in pads):
+        x = jnp.pad(x, pads, constant_values=fill)
+    T = tile_size
+    x = x.reshape(cs[0] * T, cs[1] * T, cs[2], T).min(axis=3)
+    x = x.reshape(cs[0] * T, cs[1], T, cs[2]).min(axis=2)
+    x = x.reshape(cs[0], T, cs[1], cs[2]).min(axis=1)
+    return x.reshape(cs[0] * cs[1] * cs[2])
+
+
 def enforce_one_region_per_cube(labels, region_ids, region_valid, tile_size: int, max_regions: int):
     """Cube-alignment hygiene: keep only the lowest-id region per tile
     cube and demote the rest to ACTIVEFLUID.  This enables the dense
@@ -399,25 +423,25 @@ def enforce_one_region_per_cube(labels, region_ids, region_valid, tile_size: int
     red = labels == REDUCED
     cubes, cs = cell_cube_ids(labels.shape, tile_size)
     ncubes = cs[0] * cs[1] * cs[2]
-    seg = jnp.where(red, cubes, ncubes).ravel()
     big = jnp.int32(2**30)
-    reg_flat = jnp.where(red, region_ids, big).ravel()
-    cube_min = jax.ops.segment_min(reg_flat, seg, num_segments=ncubes + 1)[:ncubes]
+    # per-cube min region id: a pure reshape reduction (the former
+    # cell-level segment_min scattered 16.7M entries at 256^3)
+    cube_min = _cube_min(jnp.where(red, region_ids, big), tile_size, cs, big)
     keep_reg = cube_min[cubes]  # per-cell: the cube's kept region id
     demote = red & (region_ids != keep_reg)
     labels = jnp.where(demote, ACTIVEFLUID, labels)
     region_ids = jnp.where(demote, INVALID_REGION, region_ids)
 
-    # recompute validity: a region survives iff it still has cells
-    red2 = labels == REDUCED
-    seg_r = jnp.where(red2, region_ids, max_regions).ravel()
-    present = jax.ops.segment_max(
-        jnp.where(red2, 1, 0).ravel(), seg_r, num_segments=max_regions + 1
-    )[:max_regions]
+    # a region survives iff it still has cells == iff it is some cube's
+    # kept (min) region: scatter over the tiny cube array, not the cells
+    kept_ok = cube_min < big
+    present = jnp.zeros((max_regions,), jnp.int32).at[
+        jnp.where(kept_ok, jnp.clip(cube_min, 0, max_regions - 1), 0)
+    ].max(kept_ok.astype(jnp.int32))
     region_valid = region_valid & (present > 0)
 
     # region slot per cube (-1 when the cube has no region)
-    region_of_cube = jnp.where(cube_min < big, cube_min, INVALID_REGION)
+    region_of_cube = jnp.where(kept_ok, cube_min, INVALID_REGION)
     return labels, region_ids, region_valid, region_of_cube
 
 
@@ -427,18 +451,23 @@ def fix_small_regions(labels, region_ids, region_valid, max_regions: int):
     red = labels == REDUCED
     seg = jnp.where(red, region_ids, max_regions).ravel()
     big = jnp.int32(2**30)
-    mins = []
-    maxs = []
+    # one segment_min over a [N, 6] stack of (coord, -coord) per axis in
+    # place of six independent cell-level segment passes (each paid its
+    # own 16.7M-element scatter at 256^3)
+    cols = []
     for a in range(3):
         coord = jnp.arange(labels.shape[a], dtype=jnp.int32).reshape(
             [-1 if i == a else 1 for i in range(3)]
         )
         coord = jnp.broadcast_to(coord, labels.shape).ravel()
-        mins.append(jax.ops.segment_min(jnp.where(red.ravel(), coord, big), seg, num_segments=max_regions + 1)[:max_regions])
-        maxs.append(jax.ops.segment_max(jnp.where(red.ravel(), coord, -1), seg, num_segments=max_regions + 1)[:max_regions])
+        cols.append(jnp.where(red.ravel(), coord, big))
+        cols.append(jnp.where(red.ravel(), -coord, big))
+    stacked = jnp.stack(cols, axis=-1)  # [N, 6]
+    ext = jax.ops.segment_min(stacked, seg, num_segments=max_regions + 1)[:max_regions]
     remove = jnp.zeros((max_regions,), dtype=bool)
-    for mn, mx in zip(mins, maxs):
-        remove = remove | (mx - mn + 1 <= 3)
+    for a in range(3):
+        mn, neg_mx = ext[:, 2 * a], ext[:, 2 * a + 1]
+        remove = remove | ((-neg_mx) - mn + 1 <= 3)
     remove = remove & region_valid
     region_valid = region_valid & ~remove
 

@@ -249,6 +249,242 @@ class _Accumulator:
 
 
 # ---------------------------------------------------------------------------
+# Gram-form reduced setup (tiled/cube path)
+#
+# Every per-region matrix build_reduced needs is a sum of terms
+# w * m_k(p + d1) * m_l(p + d2) with CONSTANT shifts d (faces sit at
+# +-0.5 from cells, edge-adjacent faces at fixed offsets from edges).
+# Monomial products are single monomials, so ONE per-region moment vector
+# of the degree-2K product monomials per weight field (the "Gram")
+# yields every shifted pair matrix algebraically through constant
+# monomial shift matrices:  sum w m(p+d1) m(p+d2)^T = S(d1) G S(d2)^T.
+#
+# The Gram itself is a MATMUL: within a cube the local cell coordinates
+# are the same for every cube, so per-cube product-monomial moments are
+#   mom_local = W_cube_major[nc, T^3] @ M_local[T^3, P]   (MXU)
+# with M_local CONSTANT, followed by a per-cube degree-4 monomial shift
+# from the cube origin to the region COM (m4(l + d) = S4(d) m4(l); S4
+# entries are binomial-coefficient polynomials in the per-cube offset d).
+# One grid-sized transpose per weight field replaces ~1.5k full-grid
+# multiply-reduce sweeps (build_reduced was 2.8 s of the 7 s per-solve
+# setup at 256^3 as pairwise sums, and still ~2.5 s as per-monomial
+# reshape-reductions; the matmul form is bandwidth-bound at ~11 grid
+# reads).
+# ---------------------------------------------------------------------------
+
+def _monomial_product_table(basis):
+    """(idx [K, K] int, plist): product-monomial exponent table.  The
+    first K products are the base monomials themselves (j=0 row)."""
+    import numpy as np
+
+    from .config import BasisOrder
+
+    if basis == BasisOrder.QUADRATIC:
+        exps = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (2, 0, 0),
+                (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)]
+    else:
+        exps = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    K = len(exps)
+    table = {}
+    plist = []
+    idx = np.zeros((K, K), np.int32)
+    for j in range(K):
+        for l in range(K):
+            e = tuple(a + b for a, b in zip(exps[j], exps[l]))
+            if e not in table:
+                table[e] = len(plist)
+                plist.append(e)
+            idx[j, l] = table[e]
+    return idx, plist
+
+
+def _local_moment_matrix(T: int, plist, dtype):
+    """Constant [T^3, P] monomial values at CENTERED in-cube coordinates
+    loc_j = j - (T-1)/2 (symmetric about the cube center, which keeps the
+    shift-to-COM recombination well-conditioned for single-cube regions).
+    In-cube order is (x, y, z) row-major, matching _cube_major's reshape.
+    The facelike +1 index offset (cube c owns global indices c*T+1..c*T+T
+    along facelike axes after _to_cube_multiple drops index 0) is folded
+    into the per-cube shift vector, so one matrix serves every family."""
+    import numpy as np
+
+    loc = np.arange(T, dtype=np.float64) - (T - 1) / 2.0
+    lx = loc[:, None, None]
+    ly = loc[None, :, None]
+    lz = loc[None, None, :]
+    cols = [(lx ** e[0]) * (ly ** e[1]) * (lz ** e[2]) * np.ones((T, T, T)) for e in plist]
+    return jnp.asarray(np.stack([c.reshape(-1) for c in cols], axis=-1), dtype)
+
+
+def _cube_major(arr, facelike_axes, T: int, cs):
+    """[grid...] -> [ncubes, T^3] cube-major view (same crop/pad rules as
+    block_sum; cube order matches region_of_cube, in-cube order matches
+    _local_moment_matrix)."""
+    x = _to_cube_multiple(arr, facelike_axes, T, cs)
+    x = x.reshape(cs[0], T, cs[1], T, cs[2], T)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(cs[0] * cs[1] * cs[2], T * T * T)
+
+
+def _shift4_tables(plist):
+    """Numpy constants (CO [P, P], EX [P, P, 3]) for the degree-4 monomial
+    shift  m_e(l + d) = sum_k CO[e,k] * d^EX[e,k] * m_k(l)  with
+    CO[e,k] = prod_i C(e_i, k_i)  (zero unless k <= e componentwise)."""
+    import math
+
+    import numpy as np
+
+    P = len(plist)
+    CO = np.zeros((P, P))
+    EX = np.zeros((P, P, 3), np.int32)
+    pidx = {e: i for i, e in enumerate(plist)}
+    for ei, e in enumerate(plist):
+        for kx in range(e[0] + 1):
+            for ky in range(e[1] + 1):
+                for kz in range(e[2] + 1):
+                    k = (kx, ky, kz)
+                    ki = pidx.get(k)
+                    if ki is None:
+                        continue
+                    CO[ei, ki] = math.comb(e[0], kx) * math.comb(e[1], ky) * math.comb(e[2], kz)
+                    EX[ei, ki] = (e[0] - kx, e[1] - ky, e[2] - kz)
+    return CO, EX
+
+
+def _shift_moments(mom_local, d, CO, EX, max_pow: int):
+    """Per-cube shift of product-monomial moments: [nc, P], d [nc, 3] ->
+    [nc, P] moments about l + d (i.e. evaluated at positions local + d)."""
+    dp = [jnp.stack([d[:, i] ** p for p in range(max_pow + 1)], axis=-1) for i in range(3)]
+    S = CO[None] * dp[0][:, EX[:, :, 0]] * dp[1][:, EX[:, :, 1]] * dp[2][:, EX[:, :, 2]]
+    return jnp.einsum("cek,ck->ce", S, mom_local)
+
+
+def _const_shift(delta, basis, dtype):
+    """[K, K] constant S with m(p + delta) = S m(p)."""
+    from .basis import monomial_shift_matrix
+
+    c = [jnp.asarray(-d, dtype) for d in delta]
+    return monomial_shift_matrix(c[0], c[1], c[2], basis)
+
+
+def _build_reduced_gram(grid, cls, com, velocity, viscosity_c, viscosity_e, params, R, acc):
+    """(fitM, fitb, mr, vr) via per-weight Grams (module section doc).
+    Exactly the sums of the pairwise path, reassociated: each Gram holds
+    per-region product-monomial moments about the region COM; constant
+    shift matrices produce the lo/hi/edge-face variants."""
+    from .basis import monomial_matrix
+    from .classify import is_active as _is_active
+    from .grid import shift as _shift_arr
+
+    import numpy as np
+
+    dtype = params.dtype
+    D = params.reduced_dof
+    T, cs, roc = acc.T, acc.cs, acc.roc
+    red_cell = cls.cell_labels == REDUCED
+    idx_tab, plist = _monomial_product_table(params.basis)
+    K = n_monomials_of(params)
+    max_pow = max(max(e) for e in plist)
+    inv_dx2 = jnp.asarray(1.0 / (grid.dx * grid.dx), dtype)
+    rho = jnp.asarray(params.effective_density, dtype)
+    idx_tab_j = jnp.asarray(idx_tab)
+    CO, EX = _shift4_tables(plist)
+    CO = jnp.asarray(CO, dtype)
+    EX = jnp.asarray(EX)
+
+    # per-cube shift from the cube CENTER to the region COM (centered
+    # local coordinates; see _local_moment_matrix)
+    nc = cs[0] * cs[1] * cs[2]
+    ci = np.arange(nc)
+    origins = np.stack([ci // (cs[1] * cs[2]), (ci // cs[2]) % cs[1], ci % cs[2]], axis=-1) * T
+    com_c = com[jnp.clip(roc, 0)]  # [nc, 3]; invalid cubes dropped in scatter
+    d_cube = jnp.asarray(origins + (T - 1) / 2.0, dtype) - com_c.astype(dtype)
+
+    mloc = _local_moment_matrix(T, plist, dtype)
+
+    def cube_moments(w, facelike):
+        mom_local = _cube_major(w, facelike, T, cs) @ mloc  # [nc, P]
+        offs = jnp.asarray([1.0 if a in facelike else 0.0 for a in range(3)], dtype)
+        return _shift_moments(mom_local, d_cube + offs, CO, EX, max_pow)
+
+    def gram_of(w, facelike=()):
+        mom = cube_moments(w, facelike)
+        M = _cube_scatter(mom, roc, R)  # [R, P]
+        return M[:, idx_tab_j]  # [R, K, K]
+
+    def moments1(g):
+        mom = cube_moments(g, ())
+        return _cube_scatter(mom, roc, R)[:, :K]  # [R, K]
+
+    active_cell = _is_active(cls.cell_labels)
+    w_visc = red_cell.astype(dtype) * viscosity_c.astype(dtype) * inv_dx2
+    G_red = gram_of(red_cell.astype(dtype))
+    G_visc = gram_of(w_visc)
+
+    fitM = jnp.zeros((R, D, D), dtype)
+    fitb = jnp.zeros((R, D), dtype)
+    mr = jnp.zeros((R, D, D), dtype)
+    vr = jnp.zeros((R, D, D), dtype)
+
+    def quad(AS1, G, AS2):
+        return jnp.einsum("dk,rkl,el->rde", AS1, G, AS2)
+
+    for a in range(3):
+        A = jnp.asarray(monomial_matrix(a, params.basis), dtype)
+        d_lo = [0.0, 0.0, 0.0]
+        d_lo[a] = -0.5
+        d_hi = [0.0, 0.0, 0.0]
+        d_hi[a] = 0.5
+        AS_lo = A @ _const_shift(d_lo, params.basis, dtype)
+        AS_hi = A @ _const_shift(d_hi, params.basis, dtype)
+        dl = [0, 0, 0]
+        dl[a] = -1
+        dh = [0, 0, 0]
+        dh[a] = 1
+        nb_lo = _shift_arr(active_cell, tuple(dl), fill=False)
+        nb_hi = _shift_arr(active_cell, tuple(dh), fill=False)
+        w_lo = (red_cell & nb_lo).astype(dtype)
+        w_hi = (red_cell & nb_hi).astype(dtype)
+        G_lo = gram_of(w_lo)
+        G_hi = gram_of(w_hi)
+        fitM = fitM + quad(AS_lo, G_lo, AS_lo) + quad(AS_hi, G_hi, AS_hi)
+        mr = mr + rho * (quad(AS_lo, G_red, AS_lo) + quad(AS_hi, G_hi, AS_hi))
+        ASd = AS_hi - AS_lo
+        vr = vr + quad(ASd, G_visc, ASd)
+
+        u_lo = face_at_cell(velocity[a].astype(dtype), a, 0)
+        u_hi = face_at_cell(velocity[a].astype(dtype), a, 1)
+        m1_lo = moments1(w_lo * u_lo)
+        m1_hi = moments1(w_hi * u_hi)
+        fitb = fitb + m1_lo @ AS_lo.T + m1_hi @ AS_hi.T
+
+    # edge shear terms: u = sum over the 4 surrounding faces of
+    # sigma_f c(f) with constant face offsets from the edge sample
+    for e in range(3):
+        p_ax, q_ax = EDGE_OFFSET_AXES[e]
+        Bsum = None
+        for fa, other in ((p_ax, q_ax), (q_ax, p_ax)):
+            off = face_offsets(fa)
+            d_up = list(off)
+            d_dn = list(off)
+            d_dn[other] -= 1.0
+            A_fa = jnp.asarray(monomial_matrix(fa, params.basis), dtype)
+            Bterm = A_fa @ (_const_shift(d_dn, params.basis, dtype) - _const_shift(d_up, params.basis, dtype))
+            Bsum = Bterm if Bsum is None else Bsum + Bterm
+        w = (cls.edge_labels[e] == REDUCED).astype(dtype) * 0.5 * viscosity_e[e].astype(dtype) * inv_dx2
+        G_e = gram_of(w, EDGE_OFFSET_AXES[e])
+        vr = vr + quad(Bsum, G_e, Bsum)
+
+    return fitM, fitb, mr, vr
+
+
+def n_monomials_of(params):
+    from .basis import n_monomials
+
+    return n_monomials(params.basis)
+
+
+# ---------------------------------------------------------------------------
 # Region geometry
 # ---------------------------------------------------------------------------
 
@@ -323,6 +559,21 @@ def build_reduced(grid: Grid, cls: Classification, velocity, viscosity_c, viscos
     acc = _Accumulator(grid, cls, params, R)
 
     com, counts = center_of_masses(cls, R, dtype, acc)
+
+    if acc.tiled:
+        # Gram fast path: every shifted-pair sum through per-weight
+        # product-monomial moments (see _build_reduced_gram)
+        fitM, fitb, mr, vr = _build_reduced_gram(
+            grid, cls, com, velocity, viscosity_c, viscosity_e, params, R, acc
+        )
+        from .linalg import solve_spd
+
+        eye = jnp.eye(D, dtype=dtype)
+        valid = cls.region_valid
+        fitM_safe = jnp.where(valid[:, None, None], fitM, eye)
+        best_fit = solve_spd(fitM_safe, fitb[..., None])[..., 0]
+        best_fit = jnp.where(valid[:, None], best_fit, 0.0)
+        return ReducedData(com=com, cell_counts=counts, mr=mr, vr=vr, binv=jnp.zeros_like(mr), best_fit=best_fit, b_w=jnp.zeros_like(best_fit))
 
     from .grid import shift as _shift
 

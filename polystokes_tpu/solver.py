@@ -98,8 +98,15 @@ def sample_density(scene: Scene, params: SolverParams) -> SolverParams:
         return params
     import numpy as np
 
-    d = np.asarray(scene.density, dtype=np.float64)
-    lo, hi = float(d.min()), float(d.max())
+    d = scene.density
+    if isinstance(d, jax.Array):
+        # reduce on device and ship two scalars — materializing the full
+        # field on host costs a grid-sized transfer (67 MB at 256^3)
+        lo, hi = jax.jit(lambda x: (jnp.min(x), jnp.max(x)))(d)
+        lo, hi = float(lo), float(hi)
+    else:
+        d = np.asarray(d, dtype=np.float64)
+        lo, hi = float(d.min()), float(d.max())
     scale = max(abs(lo), abs(hi), 1e-30)
     if (hi - lo) / scale > 1e-6:
         raise ValueError(

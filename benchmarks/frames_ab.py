@@ -37,6 +37,21 @@ def run_config(name, builder, args, reduced, single=False):
     from polystokes_tpu.config import PreconditionerType
     from polystokes_tpu.solver import check_pallas, solve_chunked
 
+    if args.crop:
+        # crop with hysteresis: grow the margin and keep the previous
+        # frame's box while it still contains the tight one, so the frame
+        # loop reuses ONE compiled shape instead of recompiling as the
+        # liquid drifts
+        from polystokes_tpu.domain import active_bbox, bbox_contains, solve_cropped
+
+        _prev = [None]
+
+        def solve_chunked(grid, scene, params, **kw):  # noqa: F811
+            tight = active_bbox(scene, params, margin=4)
+            if tight is not None and (_prev[0] is None or not bbox_contains(_prev[0], tight)):
+                _prev[0] = active_bbox(scene, params, margin=12)
+            return solve_cropped(grid, scene, params, bbox=_prev[0], **kw)
+
     kw = {"max_regions": 64} if single else {}
     params = SolverParams(
         do_reduced_regions=reduced, do_tile=not single, tile_size=args.tile, tile_padding=2, **kw,
@@ -92,7 +107,7 @@ def run_config(name, builder, args, reduced, single=False):
 
     steady = frames[2:] or frames
     return {
-        "config": name,
+        "config": name + ("_crop" if args.crop else ""),
         "n": args.n,
         "tile": args.tile if reduced else None,
         "frames": frames,
@@ -111,6 +126,8 @@ def main():
     ap.add_argument("--precond", default="cell_arrow")
     ap.add_argument("--fuse-update", action="store_true")
     ap.add_argument("--cold", action="store_true", help="zero guess every frame (warm start OFF)")
+    ap.add_argument("--crop", action="store_true",
+                    help="solve each frame on the liquid's bounding box (domain.solve_cropped)")
     ap.add_argument("--configs", default="uniform,tiled")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

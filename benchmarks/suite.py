@@ -27,6 +27,10 @@
   19. fp64 single-region honey_coil 64^3 (reference precision parity,
       units.h:21; XLA apply path + unrolled SPD Cholesky)
   20. tiled armadillo 256^3, tile 8 (toy-stiffness partner of 18)
+  21-23. cropped armadillo_si 256^3 (uniform / single-region / tiled 16):
+      the solve runs on the liquid's bounding box (domain.solve_cropped,
+      ~208^3 of 256^3 — the domain fitting the reference's host app does)
+  24-25. cropped toy armadillo 256^3 (single-region / uniform)
 
 Runs with --precond other than cell_arrow record under a suffixed config
 name so A/B preconditioner studies never overwrite the default records.
@@ -48,10 +52,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NAME_SUFFIX = ""  # set by main() for non-default preconditioner runs
 
 
-def run_config(name, grid, scene, params, segment_iters=1000):
+def run_config(name, grid, scene, params, segment_iters=1000, crop=False):
     import jax
 
     from polystokes_tpu.solver import check_pallas, sample_density, solve_chunked
+
+    if crop:
+        from polystokes_tpu.domain import solve_cropped as solve_chunked  # noqa: F811
 
     name = name + _NAME_SUFFIX
     params = sample_density(scene, params)
@@ -87,6 +94,8 @@ def run_config(name, grid, scene, params, segment_iters=1000):
         "n_stresses": int(stats["n_stresses"]),
         "compile_s": round(compile_s, 1),
     }
+    if "crop" in stats:
+        rec["crop_res"] = list(stats["crop"]["res"])
     print(json.dumps(rec), flush=True)
     # merge into BENCH_SUITE.json immediately — a crash in a later config
     # must not lose completed records
@@ -247,6 +256,28 @@ def main():
         p = SolverParams(**{**base, "dtype": jnp.float64, "use_pallas": False},
                          do_reduced_regions=True, do_tile=False, max_regions=64)
         records.append(run_config("single_region_honey_coil_64_f64", grid, scene, p))
+    if want & {21, 22, 23}:
+        from polystokes_tpu.scenes.builders import armadillo_melt_si
+
+        grid_si, scene_si = armadillo_melt_si(n=256, dtype=jnp.float32)
+        if 21 in want:
+            p = SolverParams(**base, do_reduced_regions=False)
+            records.append(run_config("crop_uniform_armadillo_si_256", grid_si, scene_si, p, crop=True))
+        if 22 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+            records.append(run_config("crop_single_region_armadillo_si_256", grid_si, scene_si, p, crop=True))
+        if 23 in want:
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2)
+            records.append(run_config("crop_tiled_armadillo_si_256", grid_si, scene_si, p, crop=True))
+    if want & {24, 25}:
+        if 24 in want:
+            grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+            p = SolverParams(**base, do_reduced_regions=True, do_tile=False, max_regions=64)
+            records.append(run_config("crop_single_region_armadillo_256", grid, scene, p, crop=True))
+        if 25 in want:
+            grid, scene = armadillo_melt(n=256, dtype=jnp.float32)
+            p = SolverParams(**base, do_reduced_regions=False)
+            records.append(run_config("crop_uniform_armadillo_256", grid, scene, p, crop=True))
     if 20 in want:
         # tile-8 at production scale (round-2 ask): 32^3 = 32768 cubes of
         # [26, 26] through linalg._map_chunked

@@ -64,6 +64,8 @@ def build_argparser():
                    help="frame loop with a P-particle FLIP transfer (flip.py; "
                    "the TPU-native stand-in for the reference's Houdini FLIP host loop)")
     p.add_argument("--gravity", type=float, default=-9.8)
+    p.add_argument("--crop", action="store_true",
+                   help="solve on the liquid's bounding box (domain.solve_cropped); implies --chunked")
     p.add_argument("--chunked", action="store_true",
                    help="chunked solve loop: K-iteration device segments with host "
                    "checks between (cancellable with Ctrl-C, reference opInterrupt parity)")
@@ -170,8 +172,11 @@ def main(argv=None):
             print(f"step {k}:")
             print_stats(stats)
             scene = dataclasses.replace(scene, velocity=vel)
-    elif args.chunked:
+    elif args.chunked or args.crop:
         from .solver import solve_chunked
+
+        if args.crop:
+            from .domain import solve_cropped as solve_chunked  # noqa: F811
 
         for k in range(start, start + args.steps):
             t0 = time.perf_counter()

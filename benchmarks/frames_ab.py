@@ -48,7 +48,12 @@ def run_config(name, builder, args, reduced, single=False):
 
         def solve_chunked(grid, scene, params, **kw):  # noqa: F811
             tight = active_bbox(scene, params, margin=4)
-            if tight is not None and (_prev[0] is None or not bbox_contains(_prev[0], tight)):
+            if tight is None:
+                # liquid spread past the worthwhile-crop threshold (or no
+                # liquid): drop the pinned box so we never freeze liquid
+                # outside a stale crop — full-domain solve this frame
+                _prev[0] = None
+            elif _prev[0] is None or not bbox_contains(_prev[0], tight):
                 _prev[0] = active_bbox(scene, params, margin=12)
             return solve_cropped(grid, scene, params, bbox=_prev[0], **kw)
 

@@ -129,6 +129,10 @@ def main():
     import jax
 
     if 19 in want:
+        # x64 is process-global: mixing config 19 with f32 configs would
+        # silently change dtype promotion (and timings) of whatever runs
+        # after it.  Run it alone (the queue scripts already do).
+        assert want == {19}, "config 19 (fp64) must run in its own process: --configs 19"
         jax.config.update("jax_enable_x64", True)
 
     cache_dir = os.environ.get("POLYSTOKES_COMPILE_CACHE", os.path.expanduser("~/.cache/polystokes_xla"))

@@ -433,8 +433,11 @@ def enforce_one_region_per_cube(labels, region_ids, region_valid, tile_size: int
     region_ids = jnp.where(demote, INVALID_REGION, region_ids)
 
     # a region survives iff it still has cells == iff it is some cube's
-    # kept (min) region: scatter over the tiny cube array, not the cells
-    kept_ok = cube_min < big
+    # kept (min) region: scatter over the tiny cube array, not the cells.
+    # cube_min can be INVALID_REGION (-1) when every red cell in the cube
+    # carries an invalid id (region overflow); such cubes must not mark
+    # slot 0 present
+    kept_ok = (cube_min >= 0) & (cube_min < big)
     present = jnp.zeros((max_regions,), jnp.int32).at[
         jnp.where(kept_ok, jnp.clip(cube_min, 0, max_regions - 1), 0)
     ].max(kept_ok.astype(jnp.int32))

@@ -33,8 +33,15 @@ def _align_for(params) -> int:
     (16 along x/y) and (b) global tile anchoring: classify anchors tiles
     at index 0 of the grid, so the crop origin must sit on a tile
     boundary.  Tiles of 8/16 divide 16; larger tiles set the alignment."""
-    t = params.tile_size if (params.do_reduced_regions and params.do_tile) else 16
+    t = params.tile_size if (
+        params.do_reduced_regions and (params.do_tile or params.cube_regions)
+    ) else 16
     return max(16, t)
+
+
+@jax.jit
+def _axis_activity(s):
+    return tuple((s < 0).any(axis=ax) for ax in ((1, 2), (0, 2), (0, 1)))
 
 
 def active_bbox(scene, params, margin: int = 4, min_saving: float = 0.10):
@@ -51,9 +58,7 @@ def active_bbox(scene, params, margin: int = 4, min_saving: float = 0.10):
     align = _align_for(params)
     if any(n % align for n in res):
         return None  # unaligned domain: cropping can't keep kernel shapes legal
-    proj = jax.jit(
-        lambda s: tuple((s < 0).any(axis=ax) for ax in ((1, 2), (0, 2), (0, 1)))
-    )(scene.surface_sdf)
+    proj = _axis_activity(scene.surface_sdf)
     lo, hi = [], []
     for a in range(3):
         nzs = np.flatnonzero(np.asarray(proj[a]))
@@ -139,6 +144,16 @@ def solve_cropped(grid: Grid, scene, params, margin: int = 4, bbox=None, **kw):
 
     if bbox is None:
         bbox = active_bbox(scene, params, margin=margin)
+    else:
+        # caller-supplied (pinned) box: verify it still contains this
+        # frame's liquid; a stale box would silently freeze the liquid
+        # outside it.  min_saving=0 so "crop not worthwhile" doesn't mask
+        # the containment check; None here means no liquid or an
+        # unaligned domain, where falling back to the internal choice is
+        # the safe behavior either way.
+        tight = active_bbox(scene, params, margin=2, min_saving=0.0)
+        if tight is None or not bbox_contains(bbox, tight):
+            bbox = active_bbox(scene, params, margin=margin)
     if bbox is None:
         return solve_chunked(grid, scene, params, **kw)
     lo, hi = bbox

@@ -11,9 +11,11 @@ precision vs 1.6e-9 at HIGHEST — the difference between never
 converging (and the BiCGStab fallback diverging on the packed path)
 and converging in a handful of iterations.
 
-The reference computes everything in full f32 CUDA multiplies
-(lib/include/ApplyPressureStressMatrix.h), so HIGHEST is also the
-parity-correct setting.  The wall-clock cost is negligible: the big
+The reference computes everything in CPU double precision
+(lib/include/units.h:21, SolveReal = double; its CUDA submodules are
+vestigial and commented out of the build), so full-precision f32
+multiplies (HIGHEST, no bf16 passes) is the closest parity setting
+this side of the fp64 verification path.  The wall-clock cost is negligible: the big
 FLOPs in the apply are elementwise stencils, and the matmuls this
 slows (per-cube moment dots, [R,26,26] region algebra) are small.
 

@@ -87,6 +87,11 @@ class Scene:
     density: object = None  # optional (nx,ny,nz) center density field
 
 
+@jax.jit
+def _min_max(x):
+    return jnp.min(x), jnp.max(x)
+
+
 def sample_density(scene: Scene, params: SolverParams) -> SolverParams:
     """Density-field input validation (HDK_PolyStokes.C:290-304): the
     reference errors out on a variable density field ("only constant
@@ -102,7 +107,7 @@ def sample_density(scene: Scene, params: SolverParams) -> SolverParams:
     if isinstance(d, jax.Array):
         # reduce on device and ship two scalars — materializing the full
         # field on host costs a grid-sized transfer (67 MB at 256^3)
-        lo, hi = jax.jit(lambda x: (jnp.min(x), jnp.max(x)))(d)
+        lo, hi = _min_max(d)
         lo, hi = float(lo), float(hi)
     else:
         d = np.asarray(d, dtype=np.float64)
@@ -286,31 +291,31 @@ def _use_packed(grid: Grid, params: SolverParams) -> bool:
     )
 
 
+@partial(jax.jit, static_argnames=("grid", "params"))
+def _boundary_activity_count(grid, scene, params):
+    liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
+    liquid_w, fluid_w = _apply_input_weights(liquid_w, fluid_w, scene, params.dtype)
+    cls = classify(grid, liquid_w, fluid_w, params)
+    total = jnp.int32(0)
+    for a in range(3):
+        sl = [slice(None)] * 3
+        sl[a] = slice(0, 1)
+        total += jnp.sum(is_active(cls.face_labels[a][tuple(sl)]))
+    from .grid import EDGE_OFFSET_AXES
+
+    for e in range(3):
+        for ax in EDGE_OFFSET_AXES[e]:
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, 1)
+            total += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
+    return total
+
+
 def boundary_activity(grid: Grid, scene: Scene, params: SolverParams) -> int:
     """Count of active faces/edges on the dropped index-0 domain planes —
     the packed Pallas layout is exact iff this is 0 (pallas_apply.py
     docstring).  Host-side pre-flight for `check_pallas` below."""
-
-    @partial(jax.jit, static_argnames=("grid", "params"))
-    def _count(grid, scene, params):
-        liquid_w, fluid_w = compute_weights(grid, scene.surface_sdf, scene.collision_sdf, params.dtype)
-        liquid_w, fluid_w = _apply_input_weights(liquid_w, fluid_w, scene, params.dtype)
-        cls = classify(grid, liquid_w, fluid_w, params)
-        total = jnp.int32(0)
-        for a in range(3):
-            sl = [slice(None)] * 3
-            sl[a] = slice(0, 1)
-            total += jnp.sum(is_active(cls.face_labels[a][tuple(sl)]))
-        from .grid import EDGE_OFFSET_AXES
-
-        for e in range(3):
-            for ax in EDGE_OFFSET_AXES[e]:
-                sl = [slice(None)] * 3
-                sl[ax] = slice(0, 1)
-                total += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
-        return total
-
-    return int(_count(grid, scene, params))
+    return int(_boundary_activity_count(grid, scene, params))
 
 
 def check_pallas(grid: Grid, scene: Scene, params: SolverParams) -> SolverParams:
@@ -755,6 +760,16 @@ def _make_deflation(grid: Grid, cls, asm, params: SolverParams):
     return build_deflation(grid, cls, params, ap)
 
 
+# Module-level jitted wrappers: solve_chunked used to create fresh
+# jax.jit wrappers per call, re-tracing + re-lowering the whole setup
+# graph every solve (whole seconds of host time at 256^3 even with the
+# persistent compile cache).  One wrapper each -> warm calls are pure
+# executable-cache hits.
+_setup_jit = jax.jit(_setup, static_argnames=("grid", "params"))
+_make_deflation_jit = jax.jit(_make_deflation, static_argnames=("grid", "params"))
+_precond_factors_packed_jit = jax.jit(precond_factors_packed, static_argnames=("grid", "params"))
+
+
 @precise_matmul
 def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None, pfac=None):
     """(apply_K, precond, b_K, x0_K, packed): the Krylov-space operator,
@@ -874,16 +889,34 @@ def _chunk_finalize(grid: Grid, scene: Scene, params: SolverParams, cls, asm, ca
         x = res.x
     v, w = recover_velocity(grid, cls, asm, x, params, R)
     new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, v, w, params)
+    converged = res.converged
+    if _use_packed(grid, params):
+        # fail safe on the packed layout invariant (see step()): liquid
+        # touching the domain box makes the dropped index-0 planes carry
+        # active DOFs -> poison converged instead of wrong physics
+        boundary_active = jnp.int32(0)
+        for a in range(3):
+            sl = [slice(None)] * 3
+            sl[a] = slice(0, 1)
+            boundary_active += jnp.sum(is_active(cls.face_labels[a][tuple(sl)]))
+        from .grid import EDGE_OFFSET_AXES
+
+        for e in range(3):
+            for ax in EDGE_OFFSET_AXES[e]:
+                sl = [slice(None)] * 3
+                sl[ax] = slice(0, 1)
+                boundary_active += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
+        converged = converged & (boundary_active == 0)
     if not params.keep_non_converged:
         new_vel = tuple(
-            jnp.where(res.converged, nv, scene.velocity[a].astype(params.dtype))
+            jnp.where(converged, nv, scene.velocity[a].astype(params.dtype))
             for a, nv in enumerate(new_vel)
         )
     n_center, n_faces, n_edges = _dof_counts(cls)
     stats = {
         "iterations": res.iterations,
         "error": res.error,
-        "converged": res.converged,
+        "converged": converged,
         "n_pressures": n_center,
         "n_active_velocities": n_faces,
         "n_stresses": 3 * n_center + n_edges,
@@ -939,16 +972,14 @@ def solve_chunked(
 
     t_start = _time.monotonic()
     _v("setup...")
-    cls, asm = jax.jit(_setup, static_argnames=("grid", "params"))(grid, scene, params)
+    cls, asm = _setup_jit(grid, scene, params)
     jax.block_until_ready(asm.clw_s)
     _v("deflation build...")
-    defl = jax.jit(_make_deflation, static_argnames=("grid", "params"))(grid, cls, asm, params)
+    defl = _make_deflation_jit(grid, cls, asm, params)
     pfac = None
     if _use_packed(grid, params):
         _v("precond factors...")
-        pfac = jax.jit(precond_factors_packed, static_argnames=("grid", "params"))(
-            grid, cls, asm, params
-        )
+        pfac = _precond_factors_packed_jit(grid, cls, asm, params)
         jax.block_until_ready(pfac)
 
     _v("chunk init...")
@@ -1035,12 +1066,6 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     v, w = recover_velocity(grid, cls, asm, x, params, R)
     new_vel, valid = apply_solution_to_velocity(grid, cls, asm, scene, v, w, params)
 
-    # keep_non_converged semantics (HDK_PolyStokes.C:566-604): on failure,
-    # either keep the partial result or leave the velocity untouched.
-    if not params.keep_non_converged:
-        keep = res.converged
-        new_vel = tuple(jnp.where(keep, nv, scene.velocity[a].astype(params.dtype)) for a, nv in enumerate(new_vel))
-
     # activity on the dropped index-0 boundary planes (must be 0 for the
     # packed Pallas layout to be exact; see pallas_apply.py docstring)
     boundary_active = jnp.int32(0)
@@ -1056,12 +1081,27 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
             sl[ax] = slice(0, 1)
             boundary_active += jnp.sum(is_active(cls.edge_labels[e][tuple(sl)]))
 
+    # fail safe on the packed layout invariant: a direct step() caller
+    # who skipped check_pallas and has liquid touching the domain box
+    # would otherwise get silently wrong physics from the dropped
+    # index-0 planes.  Poison converged so downstream (and the
+    # keep_non_converged gate below) treats the solve as failed.
+    converged = res.converged
+    if packed:
+        converged = converged & (boundary_active == 0)
+
+    # keep_non_converged semantics (HDK_PolyStokes.C:566-604): on failure,
+    # either keep the partial result or leave the velocity untouched.
+    if not params.keep_non_converged:
+        keep = converged
+        new_vel = tuple(jnp.where(keep, nv, scene.velocity[a].astype(params.dtype)) for a, nv in enumerate(new_vel))
+
     n_center, n_faces, n_edges = _dof_counts(cls)
     stats = {
         "boundary_active": boundary_active,
         "iterations": res.iterations,
         "error": res.error,
-        "converged": res.converged,
+        "converged": converged,
         "n_pressures": n_center,
         "n_active_velocities": n_faces,
         "n_stresses": 3 * n_center + n_edges,

@@ -336,3 +336,37 @@ def test_coeff_bf16_close_and_symmetric():
     lhs = float(jnp.sum(yp * ax16))
     rhs = float(jnp.sum(xp * A16(yp)))
     assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0)
+
+
+def test_boundary_liquid_fails_safe():
+    """Packed layout invariant made safe in step()/solve_chunked itself
+    (not only in the check_pallas pre-flight): liquid touching the domain
+    box means active DOFs on the dropped index-0 planes -> the solve must
+    poison converged=False and (under keep_non_converged=False) leave the
+    velocity untouched, never silently compute wrong physics."""
+    from polystokes_tpu import step
+    from polystokes_tpu.solver import _use_packed, solve_chunked
+
+    # make_case's all-liquid surface touches every domain boundary plane
+    grid, params, scene = make_case(res=(16, 16, 16), tile=8, reduced=True, solid=False)
+    params = params.replace(
+        dtype=jnp.float32, use_pallas=True, tile_padding=2,
+        keep_non_converged=False, tolerance=1e3, max_iterations=20,
+        bicgstab_fallback=False,
+    )
+    assert _use_packed(grid, params)  # the packed path really is taken
+
+    new_vel, valid, stats = step(grid, scene, params)
+    assert int(stats["boundary_active"]) > 0  # the invariant really is violated
+    assert not bool(stats["converged"])  # poisoned, despite the loose tolerance
+    for a in range(3):  # velocity untouched under keep_non_converged=False
+        np.testing.assert_array_equal(
+            np.asarray(new_vel[a]), np.asarray(scene.velocity[a], dtype=np.float32)
+        )
+
+    new_vel, _, stats = solve_chunked(grid, scene, params, segment_iters=10)
+    assert not bool(stats["converged"])
+    for a in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(new_vel[a]), np.asarray(scene.velocity[a], dtype=np.float32)
+        )

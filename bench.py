@@ -73,9 +73,15 @@ def main():
     params = check_pallas(grid, scene, params)
 
     fn = jax.jit(lambda s: step(grid, s, params))
+
+    def drain(leaf):
+        # axon: block_until_ready can return before execution has drained;
+        # a host scalar fetch forces the producing executable to finish
+        return float(jnp.sum(leaf[0]))
+
     t0 = time.perf_counter()
     vel, valid, stats = fn(scene)
-    jax.block_until_ready(vel)
+    drain(vel)
     compile_and_first = time.perf_counter() - t0
     print(f"compile+first: {compile_and_first:.1f}s", file=sys.stderr, flush=True)
 
@@ -83,7 +89,7 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         vel, valid, stats = fn(scene)
-        jax.block_until_ready(vel)
+        drain(vel)
         times.append(time.perf_counter() - t0)
     step_time = min(times)
     iters = int(stats["iterations"])

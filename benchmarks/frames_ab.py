@@ -88,16 +88,21 @@ def run_config(name, builder, args, reduced, single=False):
         )
         return adv_vel, advect_field(surf.astype(params.dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0))
 
+    def drain(leaf):
+        # axon: block_until_ready can return before execution has drained;
+        # a host scalar fetch forces the producing executable to finish
+        return float(jnp.sum(leaf))
+
     frames = []
     for k in range(args.frames):
         t0 = time.perf_counter()
         scene = dc.replace(scene, velocity=add_gravity(scene.velocity, scene.dt))
         new_vel, valid, stats = solve_chunked(grid, scene, params, segment_iters=2000)
-        jax.block_until_ready(new_vel[0])
+        drain(new_vel[0])
         solve_wall = time.perf_counter() - t0
         adv_vel, surf = advect(new_vel, scene.surface_sdf, scene.dt)
         scene = dc.replace(scene, velocity=adv_vel, surface_sdf=surf)
-        jax.block_until_ready(surf)
+        drain(surf)
         wall = time.perf_counter() - t0
         rec = {
             "frame": k,

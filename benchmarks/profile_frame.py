@@ -67,14 +67,22 @@ def main():
     f_setup = jax.jit(_setup, static_argnames=("grid", "params"))
     f_pfac = jax.jit(precond_factors_packed, static_argnames=("grid", "params"))
 
+    def drain(out):
+        # axon remote platform: block_until_ready can return before the
+        # execution has drained — a host scalar fetch of one output leaf
+        # forces the producing executable to complete (all outputs of one
+        # executable finish together)
+        leaf = next(l for l in jax.tree.leaves(out) if hasattr(l, "dtype"))
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     def timed(label, fn, *a, repeats=3):
         out = fn(*a)
-        jax.block_until_ready(out)
+        drain(out)
         ts = []
         for _ in range(repeats):
             t1 = time.perf_counter()
             out = fn(*a)
-            jax.block_until_ready(out)
+            drain(out)
             ts.append(time.perf_counter() - t1)
         print(f"{label}: {min(ts):.3f}s", flush=True)
         return out
@@ -86,25 +94,29 @@ def main():
     # the segment donates its carry — rebuild it per timing rep
     seg_fn = lambda c: _chunk_segment(grid, params, cls, asm, c, args.segment_iters, None, pfac)
     seg = seg_fn(carry)
-    jax.block_until_ready(seg)
+    drain(seg)
     ts = []
     for _ in range(2):
         c2 = _chunk_init(grid, scene, params, cls, asm, None, None, pfac)
-        jax.block_until_ready(c2)
+        drain(c2)
         t1 = time.perf_counter()
         seg = seg_fn(c2)
-        jax.block_until_ready(seg)
+        drain(seg)
         ts.append(time.perf_counter() - t1)
     k = int(seg.k)
     print(f"segment ({args.segment_iters} iters cap): {min(ts):.3f}s  "
           f"k={k} rre={float(seg.rre):.2e}  "
           f"({min(ts) / max(k, 1) * 1e3:.3f} ms/iter)", flush=True)
-    # finalize also consumes its carry — time the single call (cold-ish;
-    # its kernels were compiled by earlier reps' shapes)
-    t1 = time.perf_counter()
+    # finalize does not donate its carry — warm-time it like the others
     out = _chunk_finalize(grid, scene, params, cls, asm, seg)
-    jax.block_until_ready(out)
-    print(f"finalize: {time.perf_counter() - t1:.3f}s", flush=True)
+    drain(out)
+    ts = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        out = _chunk_finalize(grid, scene, params, cls, asm, seg)
+        drain(out)
+        ts.append(time.perf_counter() - t1)
+    print(f"finalize: {min(ts):.3f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -69,8 +69,12 @@ def run_config(name, grid, scene, params, segment_iters=1000, crop=False):
     # only finishes as segments), and Ctrl-C between segments keeps the
     # partial record
     def call():
+        import jax.numpy as jnp
+
         out = solve_chunked(grid, scene, params, segment_iters=segment_iters)
-        jax.block_until_ready(out[0])
+        # axon: block_until_ready can return before execution has drained;
+        # a host scalar fetch forces the final executable to finish
+        float(jnp.sum(out[0][0]))
         return out
 
     t0 = time.perf_counter()

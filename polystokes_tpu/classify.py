@@ -211,6 +211,18 @@ def connected_components(labels, liquid_w, max_iters: int):
         fw = liquid_w[f"face{a}"]
         conn.append((lower_faces(fw, a) > 0, upper_faces(fw, a) > 0))
 
+    def _jump(comp):
+        # pointer jumping (path doubling): comp[v] <- comp[comp[v]].
+        # comp[v] is always the linear index of a red cell in v's
+        # component with comp[comp[v]] <= comp[v] (initial value is the
+        # cell's own index; minimum only decreases), so each jump is a
+        # sound shortcut toward the component minimum.  Turns the sweep
+        # count from O(component diameter) into O(log diameter).
+        flat = comp.ravel()
+        safe = jnp.minimum(flat, n - 1)  # non-red sentinel n: clamp, then re-mask
+        jumped = jnp.take(flat, safe, mode="clip")
+        return jnp.where(flat < n, jumped, n).reshape(comp.shape)
+
     def body(state):
         comp, _, k = state
         new = comp
@@ -221,6 +233,7 @@ def connected_components(labels, liquid_w, max_iters: int):
             new = jnp.minimum(new, jnp.where(lo_ok, below, n))
             new = jnp.minimum(new, jnp.where(hi_ok, above, n))
         new = jnp.where(red, new, jnp.int32(n))
+        new = _jump(_jump(new))
         changed = jnp.any(new != comp)
         return new, changed, k + 1
 

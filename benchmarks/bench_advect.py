@@ -114,7 +114,7 @@ def frame(advect, vel, surf, dt_over_dx):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=128)
-    ap.add_argument("--variants", default="orig,linear,final")
+    ap.add_argument("--variants", default="orig,linear,gather,window")
     args = ap.parse_args()
     n = args.n
     import numpy as np
@@ -133,10 +133,19 @@ def main():
         fns["orig"] = jax.jit(lambda v, s, d: frame(make_advect(trilinear_orig), v, s, d))
     if "linear" in args.variants:
         fns["linear"] = jax.jit(lambda v, s, d: frame(make_advect(trilinear_linear), v, s, d))
-    if "final" in args.variants:
+    if "final" in args.variants or "gather" in args.variants:
+        from polystokes_tpu.sim import advect_field_gather
+
+        fns["gather"] = jax.jit(lambda v, s, d: frame(advect_field_gather, v, s, d))
+    if "window" in args.variants:
         from polystokes_tpu.sim import advect_field
 
-        fns["final"] = jax.jit(lambda v, s, d: frame(advect_field, v, s, d))
+        for sub in (1, 2, 4):
+            fns[f"window{sub}"] = jax.jit(
+                lambda v, s, d, _sub=sub: frame(
+                    lambda f, vv, dd, off: advect_field(f, vv, dd, off, substeps=_sub), v, s, d
+                )
+            )
 
     ref = None
     for name, fn in fns.items():

@@ -77,16 +77,17 @@ def run_config(name, builder, args, reduced, single=False):
         vel[ax] = vel[ax] + jnp.asarray(g, params.dtype) * dt
         return tuple(vel)
 
-    @jax.jit
-    def advect(new_vel, surf, dt):
+    @partial(jax.jit, static_argnames=("substeps",))
+    def advect(new_vel, surf, dt, substeps=1):
         from polystokes_tpu.grid import face_offsets
         from polystokes_tpu.sim import advect_field
 
         dt_over_dx = dt / jnp.asarray(grid.dx, params.dtype)
         adv_vel = tuple(
-            advect_field(new_vel[a], new_vel, dt_over_dx, face_offsets(a)) for a in range(3)
+            advect_field(new_vel[a], new_vel, dt_over_dx, face_offsets(a), substeps=substeps)
+            for a in range(3)
         )
-        return adv_vel, advect_field(surf.astype(params.dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0))
+        return adv_vel, advect_field(surf.astype(params.dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0), substeps=substeps)
 
     def drain(leaf):
         # axon: block_until_ready can return before execution has drained;
@@ -100,7 +101,10 @@ def run_config(name, builder, args, reduced, single=False):
         new_vel, valid, stats = solve_chunked(grid, scene, params, segment_iters=2000)
         drain(new_vel[0])
         solve_wall = time.perf_counter() - t0
-        adv_vel, surf = advect(new_vel, scene.surface_sdf, scene.dt)
+        from polystokes_tpu.sim import cfl_substeps
+
+        substeps = cfl_substeps(new_vel, float(scene.dt) / grid.dx)
+        adv_vel, surf = advect(new_vel, scene.surface_sdf, scene.dt, substeps=substeps)
         scene = dc.replace(scene, velocity=adv_vel, surface_sdf=surf)
         drain(surf)
         wall = time.perf_counter() - t0

@@ -196,44 +196,53 @@ def construct_reduced_regions(labels, liquid_w, params: SolverParams):
 
 def connected_components(labels, liquid_w, max_iters: int):
     """Return per-cell component label (min linear index in component; -1
-    where not REDUCED).  Converges in O(component diameter) sweeps, bounded
-    by `max_iters` (an un-merged long component then splits into several
-    regions — each still a valid region, matching the conservative
-    direction); with tiling on, components are confined to tile cubes so
-    the diameter is at most ~3 * tile_size and the bound is never hit."""
+    where not REDUCED).
+
+    TPU-native run-scan propagation: each outer sweep spreads the
+    component minimum across ENTIRE straight runs of connected cells on
+    every axis via bidirectional distance-doubling (log2(n) shift/min
+    steps per axis — pure pads/slices and VPU mins, zero gathers; a
+    general gather of the full grid runs ~1000x below HBM streaming rate
+    on TPU, see sim.advect_field).  Convergence therefore takes
+    O(path bends) outer sweeps — geometry complexity, NOT component
+    diameter — bounded by `max_iters` (an un-merged component then splits
+    into several regions, each still valid: the conservative direction);
+    with tiling on, components are confined to tile cubes and converge in
+    a few sweeps."""
     red = labels == REDUCED
     n = labels.size
+    big = jnp.int32(n)
     lin = jnp.arange(n, dtype=jnp.int32).reshape(labels.shape)
-    comp0 = jnp.where(red, lin, jnp.int32(n))
+    comp0 = jnp.where(red, lin, big)
 
-    conn = []
+    # link_lo[a][i] = cell i is connected to its lower axis-a neighbor
+    # (both REDUCED, shared face has liquid weight > 0)
+    link_lo = []
     for a in range(3):
         fw = liquid_w[f"face{a}"]
-        conn.append((lower_faces(fw, a) > 0, upper_faces(fw, a) > 0))
+        link_lo.append(red & shift(red, _unit(a, -1), fill=False) & (lower_faces(fw, a) > 0))
 
-    def _jump(comp):
-        # pointer jumping (path doubling): comp[v] <- comp[comp[v]].
-        # comp[v] is always the linear index of a red cell in v's
-        # component with comp[comp[v]] <= comp[v] (initial value is the
-        # cell's own index; minimum only decreases), so each jump is a
-        # sound shortcut toward the component minimum.  Turns the sweep
-        # count from O(component diameter) into O(log diameter).
-        flat = comp.ravel()
-        safe = jnp.minimum(flat, n - 1)  # non-red sentinel n: clamp, then re-mask
-        jumped = jnp.take(flat, safe, mode="clip")
-        return jnp.where(flat < n, jumped, n).reshape(comp.shape)
+    def _run_min(m, a):
+        """min over each cell's maximal connected run along axis a."""
+        fdn = link_lo[a]                                  # span to i-d all linked
+        fup = shift(link_lo[a], _unit(a, 1), fill=False)  # span to i+d all linked
+        d = 1
+        na = m.shape[a]
+        while d < na:
+            dn = shift(m, _unit(a, -d), fill=n)
+            up = shift(m, _unit(a, d), fill=n)
+            m = jnp.minimum(m, jnp.where(fdn, dn, big))
+            m = jnp.minimum(m, jnp.where(fup, up, big))
+            fdn = fdn & shift(fdn, _unit(a, -d), fill=False)
+            fup = fup & shift(fup, _unit(a, d), fill=False)
+            d *= 2
+        return m
 
     def body(state):
         comp, _, k = state
         new = comp
         for a in range(3):
-            lo_ok, hi_ok = conn[a]
-            below = shift(comp, _unit(a, -1), fill=n)
-            above = shift(comp, _unit(a, 1), fill=n)
-            new = jnp.minimum(new, jnp.where(lo_ok, below, n))
-            new = jnp.minimum(new, jnp.where(hi_ok, above, n))
-        new = jnp.where(red, new, jnp.int32(n))
-        new = _jump(_jump(new))
+            new = _run_min(new, a)
         changed = jnp.any(new != comp)
         return new, changed, k + 1
 

@@ -136,10 +136,12 @@ def unpack_ptau(packed: jnp.ndarray) -> PTau:
     )
 
 
-def pack_coeffs(asm, cls=None, storage_dtype=None) -> jnp.ndarray:
+def pack_coeffs(asm, cls=None, storage_dtype=None, pad=True) -> jnp.ndarray:
     """Assembled -> [17, nx+2Hx, ny+2Hy, nz] pre-scaled, pre-halo-padded
     coefficient stack (built once per step, reused every iteration).  The
     last 3 channels are the reduced-face masks (zero when cls is None).
+    `pad=False` returns the unpadded [17, nx, ny, nz] stack (the sharded
+    path pads per-shard with a real neighbor halo, parallel/shard_apply).
 
     `storage_dtype=jnp.bfloat16` halves the stack's per-iteration HBM
     traffic.  This keeps the operator exactly symmetric (the forward and
@@ -166,7 +168,7 @@ def pack_coeffs(asm, cls=None, storage_dtype=None) -> jnp.ndarray:
     stack = jnp.stack(chans, axis=0)
     if storage_dtype is not None:
         stack = stack.astype(storage_dtype)
-    return _pad_halo(stack)
+    return _pad_halo(stack) if pad else stack
 
 
 def _pad_halo(x):
@@ -495,8 +497,10 @@ def _vmem_kwargs(interpret):
     return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}
 
 
-def apply_uniform_packed(xp, coeffs_padded, res, interpret=None):
-    """out = (grid part of A) x, packed [7,...] -> [7,...], one fused kernel."""
+def apply_uniform_packed(xp, coeffs_padded, res, interpret=None, prepadded=False):
+    """out = (grid part of A) x, packed [7,...] -> [7,...], one fused kernel.
+    `prepadded=True` means xp already carries the halo (the sharded path
+    pads per-shard with real neighbor data)."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
     grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
@@ -508,7 +512,7 @@ def apply_uniform_packed(xp, coeffs_padded, res, interpret=None):
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp.dtype),
         interpret=interpret,
         **_vmem_kwargs(interpret),
-    )(_pad_halo(xp), coeffs_padded)
+    )(xp if prepadded else _pad_halo(xp), coeffs_padded)
 
 
 def forward_s_packed(xp, coeffs_padded, res, interpret=None):
@@ -543,8 +547,11 @@ def combine_packed(xp, coeffs_padded, sp, up, res, interpret=None):
     )(_pad_halo(xp), coeffs_padded, _pad_halo(sp), _pad_halo(up))
 
 
-def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
-    """Fused reduced apply from pre-padded x and the XLA-expanded u."""
+def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None, up_prepadded=False):
+    """Fused reduced apply from pre-padded x and the XLA-expanded u.
+    `up_prepadded=True` means up already carries the halo (sharded path:
+    real neighbor data — reduced faces can sit 1 slot from a cube/shard
+    boundary in the untiled cube-regions mode)."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
     grid, (xspec, cspec, uspec), out_spec = _grid_and_specs(res, (7, N_COEFF, 3), interpret)
@@ -556,7 +563,7 @@ def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None):
         out_shape=jax.ShapeDtypeStruct((7, nx, ny, nz), xp_padded.dtype),
         interpret=interpret,
         **_vmem_kwargs(interpret),
-    )(xp_padded, coeffs_padded, _pad_halo(up))
+    )(xp_padded, coeffs_padded, up if up_prepadded else _pad_halo(up))
 
 
 def _transpose_contrib(cr, w):

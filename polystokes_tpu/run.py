@@ -228,11 +228,12 @@ def main(argv=None):
                 f"  regions={int(stats['n_regions'])}"
             )
     elif args.sim:
-        from .sim import simulate_frame
+        from .sim import cfl_substeps, simulate_frame
 
         for k in range(start, start + args.steps):
             t0 = time.perf_counter()
-            scene, stats = simulate_frame(grid, scene, params, gravity=args.gravity)
+            substeps = cfl_substeps(scene.velocity, float(scene.dt) / grid.dx)
+            scene, stats = simulate_frame(grid, scene, params, gravity=args.gravity, substeps=substeps)
             jax.block_until_ready(scene.velocity[0])
             print(
                 f"frame {k}: {time.perf_counter()-t0:.3f}s  iters={int(stats['iterations'])}"

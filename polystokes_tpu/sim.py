@@ -118,25 +118,31 @@ def velocity_at_lattice(vel, a):
     return out
 
 
-def advect_field(field, vel, dt_over_dx, offsets):
-    """Semi-Lagrangian advection of a field sampled at `offsets`.
+def _lattice_velocity(vel, offsets, px, py, pz):
+    """Velocity at the target family's own (static) sample positions —
+    stencil averages for face/center families, gather fallback otherwise."""
+    nz = [a for a in range(3) if offsets[a] != 0.0]
+    if not nz:
+        return velocity_at_lattice(vel, None)  # cell centers
+    if len(nz) == 1 and offsets[nz[0]] == -0.5:
+        return velocity_at_lattice(vel, nz[0])  # face family
+    return _velocity_at(vel, px, py, pz)  # edge or custom offsets
 
-    RK2 (midpoint) backtrace.  The first velocity sample is at the
-    target's own lattice positions — computed with static stencil
-    averages (velocity_at_lattice), leaving only the midpoint velocity
-    and the final field read as true gathers (4 of the original 7)."""
+
+def advect_field_gather(field, vel, dt_over_dx, offsets):
+    """Semi-Lagrangian advection of a field sampled at `offsets`, exact
+    RK2 backtrace via gathers (unbounded displacement).
+
+    NOTE: XLA:TPU executes general gathers ~1000x below HBM streaming
+    rate (benchmarks/bench_advect.py: 2.2-5.3 s/frame at 128^3); the
+    frame loop uses the gather-free `advect_field` instead.  This path
+    remains for CPU use and as the unclamped reference."""
     dtype = field.dtype
     xs, ys, zs = coord_grids(field.shape, offsets, dtype)
     px = jnp.broadcast_to(xs, field.shape)
     py = jnp.broadcast_to(ys, field.shape)
     pz = jnp.broadcast_to(zs, field.shape)
-    nz = [a for a in range(3) if offsets[a] != 0.0]
-    if not nz:
-        u = velocity_at_lattice(vel, None)  # cell centers
-    elif len(nz) == 1 and offsets[nz[0]] == -0.5:
-        u = velocity_at_lattice(vel, nz[0])  # face family
-    else:  # edge or custom offsets: general gather sample
-        u = _velocity_at(vel, px, py, pz)
+    u = _lattice_velocity(vel, offsets, px, py, pz)
     mx = px - 0.5 * dt_over_dx * u[0]
     my = py - 0.5 * dt_over_dx * u[1]
     mz = pz - 0.5 * dt_over_dx * u[2]
@@ -147,9 +153,100 @@ def advect_field(field, vel, dt_over_dx, offsets):
     return _trilinear(field, bx, by, bz)
 
 
-@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis"))
-def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: float = -9.8, gravity_axis: int = 2):
-    """One frame: gravity -> Stokes solve -> advect velocity + surface."""
+def _hat(t):
+    """Linear interpolation kernel: max(0, 1 - |t|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _window_interp(field, dx_, dy_, dz_, D: int):
+    """field sampled at (p + d) for per-point displacement d = (dx_,dy_,dz_)
+    with |d| <= D (clamped), as a weighted sum over the (2D+2)^3 static
+    integer shifts: out[p] = sum_o hat(dx-ox) hat(dy-oy) hat(dz-oz)
+    field[p+o].  Zero gathers — pure shifts and VPU FMAs, the TPU-fast
+    form of trilinear interpolation (hat is the exact trilinear weight,
+    so for |d| <= D this EQUALS gather-based interpolation; edge-padding
+    reproduces the position clamp at the domain border)."""
+    dx_ = jnp.clip(dx_, -D, D)
+    dy_ = jnp.clip(dy_, -D, D)
+    dz_ = jnp.clip(dz_, -D, D)
+    offs = list(range(-D, D + 2))
+    pad = [(D + 1, D + 1)] * 3
+    fpad = jnp.pad(field, pad, mode="edge")
+    n0, n1, n2 = field.shape
+    wx = [_hat(dx_ - o) for o in offs]
+    wy = [_hat(dy_ - o) for o in offs]
+    wz = [_hat(dz_ - o) for o in offs]
+
+    out = jnp.zeros_like(field)
+    for ix, ox in enumerate(offs):
+        acc_y = jnp.zeros_like(field)
+        for iy, oy in enumerate(offs):
+            acc_z = jnp.zeros_like(field)
+            for iz, oz in enumerate(offs):
+                sl = fpad[
+                    D + 1 + ox : D + 1 + ox + n0,
+                    D + 1 + oy : D + 1 + oy + n1,
+                    D + 1 + oz : D + 1 + oz + n2,
+                ]
+                acc_z = acc_z + wz[iz] * sl
+            acc_y = acc_y + wy[iy] * acc_z
+        out = out + wx[ix] * acc_y
+    return out
+
+
+def advect_field(field, vel, dt_over_dx, offsets, max_disp: int = 2, substeps: int = 1):
+    """Semi-Lagrangian advection of a field sampled at `offsets` —
+    gather-free windowed form (the TPU frame-loop path).
+
+    The MAC velocity is first resampled to the target's own lattice with
+    exact static stencil averages (velocity_at_lattice), so every window
+    interpolation below is single-shape.  Each of `substeps` equal
+    sub-intervals then does an RK2 (midpoint) backtrace along the FROZEN
+    velocity with per-substep displacement clamped to `max_disp` cells
+    (`_window_interp`); choose substeps >= ceil(max |u| dt/dx / max_disp)
+    (see cfl_substeps) to keep the clamp inactive, in which case each
+    interpolation is EXACT trilinear.  Differences vs the gather path
+    (advect_field_gather): the midpoint velocity interpolates the
+    lattice-resampled components (one extra half-cell average — a
+    second-order-irrelevant smoothing of the backtrace estimate), and
+    substeps > 1 compose interpolations (slightly more diffusive,
+    strictly more accurate characteristics)."""
+    dtype = field.dtype
+    xs, ys, zs = coord_grids(field.shape, offsets, dtype)
+    px = jnp.broadcast_to(xs, field.shape)
+    py = jnp.broadcast_to(ys, field.shape)
+    pz = jnp.broadcast_to(zs, field.shape)
+    u0 = _lattice_velocity(vel, offsets, px, py, pz)
+    u0 = [jnp.broadcast_to(u, field.shape) for u in u0]
+    sub_dt = dt_over_dx / substeps
+    D_mid = max(-(-max_disp // 2), 1)
+
+    out = field
+    for _ in range(substeps):
+        # midpoint velocity at the half-substep backtrace (frozen field:
+        # u0 is the same lattice sample every substep)
+        md = [-0.5 * sub_dt * u0[a] for a in range(3)]
+        um = [_window_interp(u0[a], md[0], md[1], md[2], D_mid) for a in range(3)]
+        out = _window_interp(out, -sub_dt * um[0], -sub_dt * um[1], -sub_dt * um[2], max_disp)
+    return out
+
+
+def cfl_substeps(vel, dt_over_dx, max_disp: int = 2) -> int:
+    """Host-side substep count so each substep's backtrace stays within
+    `max_disp` cells: ceil(max |u| dt/dx / max_disp).  Fetches 3 scalars."""
+    import numpy as np
+
+    m = max(float(jnp.max(jnp.abs(v))) for v in vel)
+    return max(1, int(np.ceil(m * float(dt_over_dx) / max_disp)))
+
+
+@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis", "substeps"))
+def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: float = -9.8, gravity_axis: int = 2, substeps: int = 1):
+    """One frame: gravity -> Stokes solve -> advect velocity + surface.
+
+    `substeps` bounds each advection backtrace to the windowed
+    interpolation's clamp (see advect_field / cfl_substeps); the
+    `simulate` driver picks it per frame from the velocity CFL."""
     dt = scene.dt
     dtype = params.dtype
     dt_over_dx = dt / jnp.asarray(grid.dx, dtype)
@@ -161,9 +258,10 @@ def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: floa
     new_vel, valid, stats = step(grid, scene, params)
 
     adv_vel = tuple(
-        advect_field(new_vel[a], new_vel, dt_over_dx, face_offsets(a)) for a in range(3)
+        advect_field(new_vel[a], new_vel, dt_over_dx, face_offsets(a), substeps=substeps)
+        for a in range(3)
     )
-    surf = advect_field(scene.surface_sdf.astype(dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0))
+    surf = advect_field(scene.surface_sdf.astype(dtype), new_vel, dt_over_dx, (0.0, 0.0, 0.0), substeps=substeps)
 
     out = dataclasses.replace(scene, velocity=adv_vel, surface_sdf=surf)
     return out, stats
@@ -173,7 +271,9 @@ def simulate(grid: Grid, scene: Scene, params: SolverParams, frames: int, gravit
     """Run `frames` frames; returns the final scene and a list of stats."""
     all_stats = []
     for k in range(frames):
-        scene, stats = simulate_frame(grid, scene, params, gravity)
+        dt_over_dx = float(scene.dt) / grid.dx
+        substeps = cfl_substeps(scene.velocity, dt_over_dx)
+        scene, stats = simulate_frame(grid, scene, params, gravity, substeps=substeps)
         all_stats.append({m: v for m, v in stats.items()})
         if callback is not None:
             callback(k, scene, stats)

@@ -88,6 +88,7 @@ class Scene:
 
 
 @jax.jit
+@jax.jit
 def _min_max(x):
     return jnp.min(x), jnp.max(x)
 
@@ -771,7 +772,7 @@ _precond_factors_packed_jit = jax.jit(precond_factors_packed, static_argnames=("
 
 
 @precise_matmul
-def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None, pfac=None):
+def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParams, initial_guess=None, defl=None, pfac=None, mesh=None, mesh_axis="x"):
     """(apply_K, precond, b_K, x0_K, packed): the Krylov-space operator,
     preconditioner, RHS and initial guess — packed [7,...] channel layout
     when the fused Pallas path is enabled, PTau otherwise.  `defl` (a
@@ -780,7 +781,14 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
     precond_factors_packed) skips the factor probe — the chunked driver
     computes it once and threads it through init and every segment
     (recomputing it inside _chunk_init cost whole seconds per solve at
-    128^3)."""
+    128^3).
+
+    `mesh` (a >1-device jax.sharding.Mesh whose only >1 axis is
+    `mesh_axis`) routes the packed apply through the shard_map'ed x-slab
+    kernels (parallel/shard_apply) so a multi-chip solve keeps the fused
+    Pallas path; the fused pAp/update kernels are single-device-only and
+    are skipped under a mesh (the caller pre-flights legality with
+    parallel.sharding.pallas_shardable)."""
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
     b = build_rhs(grid, cls, asm, params, R)
@@ -807,15 +815,27 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
     if packed:
         from .pallas_apply import pack_ptau
 
-        apply_K = make_apply_packed(grid, cls, asm, params, R)
+        sharded = mesh is not None and mesh.size > 1
+        if sharded:
+            from .parallel.shard_apply import make_apply_packed_sharded
+
+            apply_K = make_apply_packed_sharded(grid, cls, asm, params, R, mesh, axis=mesh_axis)
+            # the fused pAp / fused-update kernels are single-device
+            # programs; under a mesh the CG runs plain apply + XLA BLAS1
+            # (GSPMD psums the dots over the mesh)
+            fused_update = None
+            apply_dot = None
+        else:
+            apply_K = make_apply_packed(grid, cls, asm, params, R)
         if pfac is None:
             pfac = precond_factors_packed(grid, cls, asm, params)
-        fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
-        apply_dot = (
-            make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
-            if params.fuse_pap
-            else None
-        )
+        if not sharded:
+            fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
+            apply_dot = (
+                make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
+                if params.fuse_pap
+                else None
+            )
         precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         b_K, x0_K = pack_ptau(b), pack_ptau(x0)
         if defl is not None:
@@ -836,25 +856,31 @@ def _build_krylov_system(grid: Grid, cls, asm, scene: Scene, params: SolverParam
     return apply_K, None, None, precond, b, x0, False
 
 
-@partial(jax.jit, static_argnames=("grid", "params"))
+@partial(jax.jit, static_argnames=("grid", "params", "mesh", "mesh_axis"))
 @precise_matmul
-def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None, pfac=None):
-    apply_K, _apply_dot, _fused_update, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl, pfac)
+def _chunk_init(grid: Grid, scene: Scene, params: SolverParams, cls, asm, initial_guess=None, defl=None, pfac=None, mesh=None, mesh_axis="x"):
+    apply_K, _apply_dot, _fused_update, precond, b_K, x0_K, _packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl, pfac, mesh=mesh, mesh_axis=mesh_axis)
     return krylov.pcg_init(apply_K, b_K, x0_K, precond)
 
 
-@partial(jax.jit, static_argnames=("grid", "params", "segment_iters"), donate_argnames=("carry",))
+@partial(jax.jit, static_argnames=("grid", "params", "segment_iters", "mesh", "mesh_axis"), donate_argnames=("carry",))
 @precise_matmul
-def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_iters: int, defl=None, pfac=None):
+def _chunk_segment(grid: Grid, params: SolverParams, cls, asm, carry, segment_iters: int, defl=None, pfac=None, mesh=None, mesh_axis="x"):
     R = effective_max_regions(grid, params)
     packed = _use_packed(grid, params)
     apply_dot = None
     fused_update = None
     if packed:
-        apply_K = make_apply_packed(grid, cls, asm, params, R)
-        fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
-        if params.fuse_pap:
-            apply_dot = make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
+        sharded = mesh is not None and mesh.size > 1
+        if sharded:
+            from .parallel.shard_apply import make_apply_packed_sharded
+
+            apply_K = make_apply_packed_sharded(grid, cls, asm, params, R, mesh, axis=mesh_axis)
+        else:
+            apply_K = make_apply_packed(grid, cls, asm, params, R)
+            fused_update = make_fused_update(grid, params, pfac, cls=cls, asm=asm)
+            if params.fuse_pap:
+                apply_dot = make_apply_packed_pap(grid, cls, asm, params, R, defer_finish=_defer_finish(grid, params, fused_update))
         precond = make_preconditioner_packed(grid, cls, asm, params, factors=pfac)
         if defl is not None:
             from .deflation import deflated_precond_packed
@@ -937,6 +963,8 @@ def solve_chunked(
     state_path: str = None,
     resume: bool = False,
     initial_guess=None,
+    mesh=None,
+    mesh_axis: str = "x",
 ):
     """One Stokes solve as a host loop over K-iteration jitted CG
     segments, with the Krylov state held on device between calls.
@@ -983,7 +1011,7 @@ def solve_chunked(
         jax.block_until_ready(pfac)
 
     _v("chunk init...")
-    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl, pfac)
+    carry = _chunk_init(grid, scene, params, cls, asm, initial_guess, defl, pfac, mesh=mesh, mesh_axis=mesh_axis)
     jax.block_until_ready(carry.r)
     _v("first segment...")
     if resume and state_path and _os.path.exists(state_path):
@@ -995,7 +1023,7 @@ def solve_chunked(
     interrupted = False
     try:
         while True:
-            carry = _chunk_segment(grid, params, cls, asm, carry, segment_iters, defl, pfac)
+            carry = _chunk_segment(grid, params, cls, asm, carry, segment_iters, defl, pfac, mesh=mesh, mesh_axis=mesh_axis)
             k = int(carry.k)
             done = bool(carry.done)
             rre = float(carry.rre)
@@ -1021,15 +1049,20 @@ def solve_chunked(
     return new_vel, valid, stats
 
 
-@partial(jax.jit, static_argnames=("grid", "params"))
+@partial(jax.jit, static_argnames=("grid", "params", "mesh", "mesh_axis"))
 @precise_matmul
-def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
+def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None, mesh=None, mesh_axis="x"):
     """One Stokes solve.  Returns (new_velocity, valid_masks, stats).
 
     `initial_guess` (optional PTau) seeds the Krylov solve — the device
     analog of readInWarmStart + solveWithGuess (Solver.cpp:621-642,
     814-862); see export.solution_guess_ptau for loading an exported
-    solution into one."""
+    solution into one.
+
+    `mesh`/`mesh_axis` (static) route the packed apply through the
+    shard_map'ed slab kernels for a multi-chip solve; use
+    parallel.sharding.sharded_step, which pre-flights legality
+    (pallas_shardable) and shards the scene inputs."""
     R = effective_max_regions(grid, params)
     cls, asm = _setup(grid, scene, params)
     defl = _make_deflation(grid, cls, asm, params)
@@ -1039,7 +1072,7 @@ def step(grid: Grid, scene: Scene, params: SolverParams, initial_guess=None):
     # pack before and one unpack after (pallas_apply.py); the device
     # warm-start guess (constructGuessVectors, Solver.cpp:521-531) is
     # built inside _build_krylov_system
-    apply_K, apply_dot, fused_update, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl)
+    apply_K, apply_dot, fused_update, precond, b_K, x0_K, packed = _build_krylov_system(grid, cls, asm, scene, params, initial_guess, defl, mesh=mesh, mesh_axis=mesh_axis)
     if packed:
         from .pallas_apply import unpack_ptau
 

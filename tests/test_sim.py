@@ -36,3 +36,48 @@ def test_beam_sags_over_frames():
     for a in range(3):
         assert np.all(np.isfinite(np.asarray(out.velocity[a])))
     assert z1 < z0  # the free end sags under gravity
+
+
+def test_window_advect_matches_gather():
+    """The gather-free windowed advection (advect_field) equals the exact
+    gather path (advect_field_gather) when the backtrace stays within the
+    window: exactly under constant velocity (same positions, same hat
+    weights), closely under a smooth velocity field (the only difference
+    is the midpoint velocity's lattice resampling)."""
+    import jax.numpy as jnp
+
+    from polystokes_tpu.grid import face_offsets
+    from polystokes_tpu.sim import advect_field, advect_field_gather, cfl_substeps
+
+    n = 12
+    rng = np.random.default_rng(3)
+    surf = jnp.asarray(rng.standard_normal((n, n, n)))
+
+    # constant velocity: bit-comparable paths
+    vel_c = tuple(
+        jnp.full((n + (a == 0), n + (a == 1), n + (a == 2)), 0.7 - 0.3 * a) for a in range(3)
+    )
+    for offsets in [(0.0, 0.0, 0.0), face_offsets(0)]:
+        fld = surf if offsets == (0.0, 0.0, 0.0) else vel_c[0]
+        a = advect_field_gather(fld, vel_c, jnp.asarray(1.3), offsets)
+        b = advect_field(fld, vel_c, jnp.asarray(1.3), offsets)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    # smooth varying velocity: agreement to interpolation-order tolerance
+    xs = jnp.linspace(0, 1, n)
+    smooth = 0.5 * jnp.sin(2 * np.pi * xs)[:, None, None] * jnp.ones((n, n, n))
+    vel_s = tuple(
+        jnp.pad(smooth * (1.0 - 0.2 * a), [(0, a == 0), (0, a == 1), (0, a == 2)], mode="edge")
+        for a in range(3)
+    )
+    dtdx = jnp.asarray(1.0)
+    assert cfl_substeps(vel_s, float(dtdx)) == 1  # max|u| 0.5 < max_disp
+    a = advect_field_gather(surf, vel_s, dtdx, (0.0, 0.0, 0.0))
+    b = advect_field(surf, vel_s, dtdx, (0.0, 0.0, 0.0))
+    d = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+    scale = float(jnp.max(jnp.abs(surf)))
+    assert d < 0.08 * scale, d
+
+    # substeps stay finite and bounded-displacement correct
+    c = advect_field(surf, vel_s, dtdx, (0.0, 0.0, 0.0), substeps=3)
+    assert np.all(np.isfinite(np.asarray(c)))

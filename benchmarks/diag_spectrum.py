@@ -54,6 +54,15 @@ def main():
     ap.add_argument("--ritz", type=int, default=0,
                     help="with --cg: run this many iterations and print the Lanczos "
                     "Ritz-value histogram of M^-1(-A) (spectrum shape comparison)")
+    ap.add_argument("--skin", choices=["exact", "gs"], default=None,
+                    help="with --cg: symmetric multiplicative combination of the "
+                    "arrow with a solver on the skin band (cells adjacent to "
+                    "reduced faces): exact block solve (upper bound of any band "
+                    "smoother) or symmetric Gauss-Seidel sweeps")
+    ap.add_argument("--skin-width", type=int, default=1,
+                    help="dilate the skin band to this many cells")
+    ap.add_argument("--skin-sweeps", type=int, default=1,
+                    help="symmetric GS sweeps per application (--skin gs)")
     ap.add_argument("--no-qred", action="store_true",
                     help="build the arrow M WITHOUT the reduced-coupling diagonal "
                     "q_red — tests whether folding the J^T BInv J diagonal into M "
@@ -306,6 +315,67 @@ def main():
             skin_flag = sk[cell_m]
         else:
             skin_flag = None
+
+        if args.skin and not args.uniform:
+            # Band-aware smoother experiment (VERDICT r4 item 7): the hard
+            # tiled modes are "mixed grid/skin" — test whether a solver on
+            # the skin band (cells within --skin-width of a reduced face,
+            # ALL their DOF families) fixes them.  `exact` factorizes the
+            # skin block of N = -A (the idealized upper bound of any
+            # line/plane GS on the band); `gs` runs --skin-sweeps symmetric
+            # Gauss-Seidel sweeps on that block.  Combined with the arrow
+            # as symmetric multiplicative Schwarz (SPD):
+            #   z1 = S r;  z2 = z1 + Minv(r - N z1);  z = z2 + S(r - N z2)
+            from scipy import ndimage as _ndi
+
+            skd = _ndi.binary_dilation(sk, iterations=max(args.skin_width - 1, 0)) if args.skin_width > 1 else sk
+            sel = [np.flatnonzero(skd[cell_m])]                       # p
+            sel += [nP + a * nC + sel[0] for a in range(3)]           # tau_c
+            o = nP + 3 * nC
+            for e in range(3):
+                m = np.asarray(ops.edge_idx[e] >= 0)
+                ei, ej, ek = np.nonzero(m)
+                ci = np.minimum(ei, grid.res[0] - 1)
+                cj = np.minimum(ej, grid.res[1] - 1)
+                ck = np.minimum(ek, grid.res[2] - 1)
+                sel.append(o + np.flatnonzero(skd[ci, cj, ck]))
+                o += int(m.sum())
+            skin_ids = np.concatenate(sel)
+            Nmat_s = (-A).tocsr()
+            Ns = Nmat_s[skin_ids][:, skin_ids].tocsc()
+            # regularize empty rows (dead DOFs inside the band bbox)
+            dz = np.asarray(np.abs(Ns).sum(axis=1)).ravel() == 0
+            if dz.any():
+                Ns = Ns + sp.diags(dz.astype(np.float64))
+            print(f"skin({args.skin}, width={args.skin_width}): {len(skin_ids)} of {n} DOFs", flush=True)
+            if args.skin == "exact":
+                Ns_solve = spla.factorized(Ns)
+            else:
+                L = sp.tril(Ns, format="csr")
+                Uu = sp.triu(Ns, k=1, format="csr")
+                Lt = sp.tril(Ns, k=-1, format="csr")
+                Ut = sp.triu(Ns, format="csr")
+
+                def Ns_solve(rs_, sweeps=args.skin_sweeps):
+                    zz = np.zeros_like(rs_)
+                    for _ in range(sweeps):
+                        zz = spla.spsolve_triangular(L, rs_ - Uu @ zz, lower=True)
+                        zz = spla.spsolve_triangular(Ut, rs_ - Lt @ zz, lower=False)
+                    return zz
+
+            base_M = apply_M
+
+            def S(r_):
+                z = np.zeros(n)
+                z[skin_ids] = Ns_solve(r_[skin_ids])
+                return z
+
+            def M_skin(r_):
+                z1 = S(r_)
+                z2 = z1 + base_M(r_ - Nmat_s @ z1)
+                return z2 + S(r_ - Nmat_s @ z2)
+
+            apply_M = M_skin
 
         x = np.zeros_like(b)
         if args.twolevel and args.adef2:

@@ -77,7 +77,7 @@ def run_config(name, builder, args, reduced, single=False):
         vel[ax] = vel[ax] + jnp.asarray(g, params.dtype) * dt
         return tuple(vel)
 
-    @partial(jax.jit, static_argnames=("substeps",))
+    @jax.jit
     def advect(new_vel, surf, dt, substeps=1):
         from polystokes_tpu.grid import face_offsets
         from polystokes_tpu.sim import advect_field

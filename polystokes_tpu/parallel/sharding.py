@@ -157,7 +157,17 @@ def sharded_step(grid, params, mesh: Mesh):
         )
     params = check_mesh_pallas(params, mesh)
     sh = scene_shardings(mesh)
-    return jax.jit(
-        lambda scene: step(grid, scene, params),
-        in_shardings=(sh,),
-    )
+    ax = _data_axes(mesh)
+
+    def _fn(scene):
+        if mesh.size > 1 and ax:
+            # pin grid-shaped fields entering the cube-major reshapes to
+            # the canonical slab sharding (avoids the SPMD partitioner's
+            # involuntary-full-remat fallback on the moments leg)
+            from ..reduced import gspmd_grid_spec
+
+            with gspmd_grid_spec(mesh, ax):
+                return step(grid, scene, params)
+        return step(grid, scene, params)
+
+    return jax.jit(_fn, in_shardings=(sh,))

@@ -45,6 +45,7 @@ diagonal re-parameterization of the reference's world-unit coefficients.
 from __future__ import annotations
 
 import dataclasses
+from contextlib import contextmanager as _contextmanager
 from typing import Tuple
 
 import jax
@@ -124,11 +125,44 @@ def _use_tiled(params: SolverParams) -> bool:
     return params.cube_regions
 
 
+_GSPMD_GRID_SPEC = None  # (mesh, (axis0, axis1)) set by parallel.sharding
+
+
+@_contextmanager
+def gspmd_grid_spec(mesh, axes):
+    """Trace-time context: pin grid-shaped fields entering the cube-major
+    reshapes to the canonical (x, y)-slab sharding.  Without it GSPMD is
+    free to z-shard the weight-product intermediates of the moments leg,
+    and converting a z-sharded slice to the cube-batch layout triggers an
+    'involuntary full rematerialization' (last-resort replicate) in the
+    SPMD partitioner.  Used by parallel.sharding.sharded_step around the
+    GSPMD (non-shard_map) path."""
+    global _GSPMD_GRID_SPEC
+    prev = _GSPMD_GRID_SPEC
+    _GSPMD_GRID_SPEC = (mesh, tuple(axes))
+    try:
+        yield
+    finally:
+        _GSPMD_GRID_SPEC = prev
+
+
+def _constrain_grid(x):
+    if _GSPMD_GRID_SPEC is None:
+        return x
+    mesh, axes = _GSPMD_GRID_SPEC
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = [None, None, None]
+    for i, a in enumerate(axes[:2]):
+        spec[i] = a
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 def _to_cube_multiple(arr, facelike_axes, T: int, cs):
     """Drop index 0 along `facelike_axes` and zero-pad every axis to the
     cube multiple cs[i]*T.  The result reshapes to the 6-D block view as a
     pure view of contiguous memory."""
-    x = arr
+    x = _constrain_grid(arr)
     for ax in facelike_axes:
         sl = [slice(None)] * 3
         sl[ax] = slice(1, None)

@@ -194,7 +194,7 @@ def _window_interp(field, dx_, dy_, dz_, D: int):
     return out
 
 
-def advect_field(field, vel, dt_over_dx, offsets, max_disp: int = 2, substeps: int = 1):
+def advect_field(field, vel, dt_over_dx, offsets, max_disp: int = 2, substeps=1):
     """Semi-Lagrangian advection of a field sampled at `offsets` —
     gather-free windowed form (the TPU frame-loop path).
 
@@ -210,7 +210,14 @@ def advect_field(field, vel, dt_over_dx, offsets, max_disp: int = 2, substeps: i
     lattice-resampled components (one extra half-cell average — a
     second-order-irrelevant smoothing of the backtrace estimate), and
     substeps > 1 compose interpolations (slightly more diffusive,
-    strictly more accurate characteristics)."""
+    strictly more accurate characteristics).
+
+    `substeps` may be a TRACED value: because the velocity is frozen, the
+    midpoint displacement is the same every substep, so it is hoisted out
+    and the loop is a shape-invariant `lax.fori_loop` with a dynamic trip
+    count — one compilation covers every CFL substep count (the frame
+    loop's per-frame count otherwise forces a ~minute 128^3 recompile
+    whenever max|u| crosses a multiple of max_disp)."""
     dtype = field.dtype
     xs, ys, zs = coord_grids(field.shape, offsets, dtype)
     px = jnp.broadcast_to(xs, field.shape)
@@ -218,17 +225,20 @@ def advect_field(field, vel, dt_over_dx, offsets, max_disp: int = 2, substeps: i
     pz = jnp.broadcast_to(zs, field.shape)
     u0 = _lattice_velocity(vel, offsets, px, py, pz)
     u0 = [jnp.broadcast_to(u, field.shape) for u in u0]
-    sub_dt = dt_over_dx / substeps
+    sub_dt = dt_over_dx / jnp.asarray(substeps, dtype)
     D_mid = max(-(-max_disp // 2), 1)
 
-    out = field
-    for _ in range(substeps):
-        # midpoint velocity at the half-substep backtrace (frozen field:
-        # u0 is the same lattice sample every substep)
-        md = [-0.5 * sub_dt * u0[a] for a in range(3)]
-        um = [_window_interp(u0[a], md[0], md[1], md[2], D_mid) for a in range(3)]
-        out = _window_interp(out, -sub_dt * um[0], -sub_dt * um[1], -sub_dt * um[2], max_disp)
-    return out
+    # midpoint velocity at the half-substep backtrace: u0 is frozen, so
+    # this is identical every substep — compute it once
+    md = [-0.5 * sub_dt * u0[a] for a in range(3)]
+    um = [_window_interp(u0[a], md[0], md[1], md[2], D_mid) for a in range(3)]
+    dxs = (-sub_dt * um[0], -sub_dt * um[1], -sub_dt * um[2])
+    return jax.lax.fori_loop(
+        0,
+        jnp.asarray(substeps, jnp.int32),
+        lambda i, out: _window_interp(out, dxs[0], dxs[1], dxs[2], max_disp),
+        field,
+    )
 
 
 def cfl_substeps(vel, dt_over_dx, max_disp: int = 2) -> int:
@@ -240,13 +250,15 @@ def cfl_substeps(vel, dt_over_dx, max_disp: int = 2) -> int:
     return max(1, int(np.ceil(m * float(dt_over_dx) / max_disp)))
 
 
-@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis", "substeps"))
-def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: float = -9.8, gravity_axis: int = 2, substeps: int = 1):
+@partial(jax.jit, static_argnames=("grid", "params", "gravity_axis"))
+def simulate_frame(grid: Grid, scene: Scene, params: SolverParams, gravity: float = -9.8, gravity_axis: int = 2, substeps=1):
     """One frame: gravity -> Stokes solve -> advect velocity + surface.
 
     `substeps` bounds each advection backtrace to the windowed
     interpolation's clamp (see advect_field / cfl_substeps); the
-    `simulate` driver picks it per frame from the velocity CFL."""
+    `simulate` driver picks it per frame from the velocity CFL.  It is a
+    TRACED argument (dynamic fori_loop trip count in advect_field), so
+    per-frame CFL changes never retrigger compilation."""
     dt = scene.dt
     dtype = params.dtype
     dt_over_dx = dt / jnp.asarray(grid.dx, dtype)

@@ -43,9 +43,10 @@ from polystokes_tpu.weights import compute_weights
 from polystokes_tpu import krylov
 
 
-def main(n=128, iters=100):
+def main(n=128, iters=100, untiled=False):
+    kw = {"do_tile": False, "max_regions": 64} if untiled else {"do_tile": True}
     params = SolverParams(
-        do_reduced_regions=True, do_tile=True, tile_size=16, tile_padding=2,
+        do_reduced_regions=True, tile_size=16, tile_padding=2, **kw,
         preconditioner=PreconditionerType.CELL_ARROW, use_pallas=True,
     )
     grid, scene = honey_coil(n=n, dtype=jnp.float32)
@@ -87,6 +88,60 @@ def main(n=128, iters=100):
         return jax.lax.fori_loop(0, iters, body, x)
 
     timeit("apply (fused pallas)", chain_apply, xp)
+
+    # reduced-branch stage breakdown: one grid_mom_pap pass, the tiny
+    # region algebra, the polynomial expand, and the finish pass — the
+    # deltas vs uniform's single fused pass
+    if params.do_reduced_regions:
+        from polystokes_tpu.pallas_apply import (
+            _pad_halo,
+            expand_packed,
+            finish_packed,
+            grid_mom_pap_packed,
+            pack_coeffs,
+        )
+        from polystokes_tpu.solver import _region_algebra_packed
+
+        T = params.tile_size
+
+        def chain_grid_mom(cls, asm, x):
+            coeffs = pack_coeffs(asm, cls)
+
+            def body(i, acc):
+                out, mom, pap = grid_mom_pap_packed(_pad_halo(acc), coeffs, grid.res, T, params.basis)
+                return out + 1e-30 * jnp.sum(mom) + 1e-30 * jnp.sum(pap)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        timeit("  grid+mom+pap pass", chain_grid_mom, xp)
+
+        def chain_expand(cls, asm, x):
+            coeffs = pack_coeffs(asm, cls)
+            algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R)
+            _, mom0, _ = grid_mom_pap_packed(_pad_halo(x), coeffs, grid.res, T, params.basis)
+
+            def body(i, carry):
+                mom = mom0 + 1e-30 * i
+                v_arr = algebra(mom)
+                up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
+                return carry + 1e-30 * jnp.sum(up)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), x.dtype))
+
+        timeit("  algebra+expand", chain_expand, xp)
+
+        def chain_finish(cls, asm, x):
+            coeffs = pack_coeffs(asm, cls)
+            out0, mom0, _ = grid_mom_pap_packed(_pad_halo(x), coeffs, grid.res, T, params.basis)
+            algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R)
+            up0 = expand_packed(algebra(mom0), red_packed, grid.res, T, params.basis)
+
+            def body(i, acc):
+                return finish_packed(coeffs, out0, up0 + 1e-30 * acc[:3], grid.res)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        timeit("  finish pass", chain_finish, xp)
 
     def chain_apply_dot(cls, asm, x):
         fn = make_apply_packed_pap(grid, cls, asm, params, R)
@@ -162,4 +217,5 @@ def main(n=128, iters=100):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 128, untiled="--untiled" in sys.argv)

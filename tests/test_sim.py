@@ -81,3 +81,39 @@ def test_window_advect_matches_gather():
     # substeps stay finite and bounded-displacement correct
     c = advect_field(surf, vel_s, dtdx, (0.0, 0.0, 0.0), substeps=3)
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_dynamic_substeps_no_retrace_and_exact():
+    """The CFL substep count is a dynamic fori_loop trip count: changing
+    it must neither retrace the jitted advection (one compile covers
+    every per-frame CFL — the frame loop previously recompiled the 128^3
+    advection whenever max|u| crossed a multiple of max_disp) nor change
+    the result vs a Python-int count."""
+    import jax
+
+    from polystokes_tpu.sim import advect_field
+
+    n = 12
+    rng = np.random.default_rng(3)
+    surf = jnp.asarray(rng.standard_normal((n, n, n)))
+    vel = tuple(
+        jnp.asarray(0.3 * rng.standard_normal((n + (a == 0), n + (a == 1), n + (a == 2))))
+        for a in range(3)
+    )
+    dtdx = jnp.asarray(0.9)
+
+    traces = []
+
+    @jax.jit
+    def adv(f, v, d, substeps):
+        traces.append(1)
+        return advect_field(f, v, d, (0.0, 0.0, 0.0), substeps=substeps)
+
+    out2 = adv(surf, vel, dtdx, 2)
+    out5 = adv(surf, vel, dtdx, 5)
+    assert len(traces) == 1, "substep count change retraced the advection"
+
+    # traced trip count == unrolled Python loop count (bit-exact)
+    ref5 = advect_field(surf, vel, dtdx, (0.0, 0.0, 0.0), substeps=5)
+    np.testing.assert_array_equal(np.asarray(out5), np.asarray(ref5))
+    assert not np.array_equal(np.asarray(out2), np.asarray(out5))

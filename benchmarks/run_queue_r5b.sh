@@ -35,4 +35,10 @@ run iter_untiled python benchmarks/bench_iter.py 128 --untiled
 run iter_tiled python benchmarks/bench_iter.py 128
 # 5. per-frame setup profile at SI 128^3 (warm-frame intercept)
 run pf128_single python benchmarks/profile_frame.py --scene jelly_jam_si --n 128 --untiled --segment-iters 200
+# 6. re-measure the r3-era suite records at head (run-scan CC + Gram setup
+#    changed both step_s and compile_s; toy-tiled 256^3 configs 5/12/13
+#    stay documented at their original commit - non-production regime)
+run suite_head_64 python benchmarks/suite.py --configs 1,2,4
+run suite_head_128 python benchmarks/suite.py --configs 3,6,7
+run suite_head_256 python benchmarks/suite.py --configs 8,9
 echo "$(date -u +%H:%M:%S) QUEUE-B DONE" >> "$LOG/queue.log"

@@ -189,14 +189,22 @@ def main(n=128, iters=100, untiled=False):
 
     timeit("CG BLAS1 (3 dots + 3 axpy)", blas1, xp)
 
-    def full(cls, asm, pf, x):
-        apply_K = make_apply_packed(grid, cls, asm, params, R)
-        apply_dot = make_apply_packed_pap(grid, cls, asm, params, R)
-        precond = make_preconditioner_packed(grid, cls, asm, params, factors=pf)
+    def full(cls, asm, pf, x, p2=None):
+        p2 = p2 or params
+        apply_K = make_apply_packed(grid, cls, asm, p2, R)
+        apply_dot = make_apply_packed_pap(grid, cls, asm, p2, R)
+        precond = make_preconditioner_packed(grid, cls, asm, p2, factors=pf)
         res = krylov.pcg(apply_K, x, jnp.zeros_like(x), precond=precond, tol=0.0, max_iters=iters, apply_dot=apply_dot)
         return res.x
 
     timeit("full PCG iteration", full, pfac, xp)
+
+    def full_bf16(cls, asm, pf, x):
+        # bf16 coefficient storage on the PRODUCTION (unfused-update) loop:
+        # halves the 17-channel coeff read in pass 1 + the finish re-read
+        return full(cls, asm, pf, x, p2=params.replace(coeff_bf16=True))
+
+    timeit("full PCG iteration (bf16)", full_bf16, pfac, xp)
 
     def full_fused(cls, asm, pf, x, p2=None):
         from polystokes_tpu.solver import make_fused_update
@@ -209,6 +217,13 @@ def main(n=128, iters=100, untiled=False):
         return res.x
 
     timeit("full PCG iter (fused upd)", full_fused, pfac, xp)
+
+    def full_fused_noexp(cls, asm, pf, x):
+        # the materialized-up fused path (expand kernel + halo pad + finish
+        # re-read) — the pre-round-5 fused-update baseline
+        return full_fused(cls, asm, pf, x, p2=params.replace(fuse_update=True, fuse_expand=False))
+
+    timeit("full PCG iter (fused, no exp)", full_fused_noexp, pfac, xp)
 
     def full_fused_bf16(cls, asm, pf, x):
         return full_fused(cls, asm, pf, x, p2=params.replace(fuse_update=True, coeff_bf16=True))

@@ -144,6 +144,13 @@ class SolverParams:
     # preconditioner applies the operator). Default off until validated
     # on hardware per-config.
     fuse_update: bool = False
+    # under fuse_update on the reduced path, evaluate the polynomial
+    # expand INSIDE the finish+update kernel (pallas_apply.
+    # exp_finish_update_packed): the expanded face values never
+    # round-trip through HBM — one fewer kernel + ~12 fewer channel
+    # sweeps per iteration.  Falls back automatically when the config
+    # is outside the fused kernel's support (halo > min(tile, block)).
+    fuse_expand: bool = True
     # store the packed coefficient stack in bfloat16 (kernel math stays
     # f32): halves the loop-constant HBM traffic per iteration at ~0.4%
     # coefficient rounding; symmetry/SPD-preserving (pack_coeffs doc)

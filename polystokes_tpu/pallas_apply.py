@@ -953,6 +953,240 @@ def finish_update_packed(xp, rp, pp, alpha, coeffs_padded, out_grid, up, factors
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused reduced finish: the polynomial expand is evaluated IN the
+# finish+update kernel (on the halo window, in registers), so the face
+# values `up` never round-trip through HBM — removing the expand kernel,
+# the XLA halo pad of up, and the finish pass's halo re-read of it
+# (reference analog: the reduced expansion J v inside
+# ApplyPressureStressMatrix.h:102-179 is likewise fused into the apply).
+#
+# Window decomposition: each (x, y) window splits into statically-sized
+# segments [low fringe | cpb whole-cube (or whole-block) slices | high
+# fringe]; a fringe (HALO_X/HALO_Y <= min(tile, block)) always lies in a
+# single cube, whose index is plain traced arithmetic on program_id — so
+# one polynomial evaluation per cell, no per-cube masking sweeps, and a
+# plain 2-D grid even when the tile exceeds the block.
+# ---------------------------------------------------------------------------
+
+
+def _axis_segments(pid, b, T, H):
+    """Static (window_offset, length) segments along one block axis plus
+    the traced cube index owning each.  Requires H <= min(T, b) (single-
+    cube fringes) and T | b or b | T (pallas_compatible)."""
+    base = pid * b
+    w = min(T, b)
+    segs = [(0, H, (base - 1) // T)]
+    for m in range(max(b // T, 1)):
+        segs.append((H + m * w, w, base // T + m))
+    segs.append((H + b, H, (base + b) // T))
+    return segs
+
+
+def _expand_u_window(vr, redr, K, T, bx, by, nz, cs, wsx, wsy, mono_fn):
+    """u_a (3 window-shaped register arrays): region polynomials evaluated
+    on the reduced faces of the (bx+2Hx, by+2Hy) halo window.  `vr` is the
+    element-windowed [wsx, wsy, 3K, cs2] slab of cube-origin coefficients;
+    `redr` the halo window of the reduced-face masks (coeff channels
+    14-16).  Out-of-domain fringe cells use a clamped cube (finite garbage
+    positions) and are zeroed by the mask, which is genuinely 0 in the
+    pre-padded coefficient halo."""
+    dtype = vr.dtype
+    i, j = pl.program_id(0), pl.program_id(1)
+    cs2 = cs[2]
+    zi = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (cs2, nz), 0)
+    Zt = (zi // T == ci).astype(dtype)  # (cs2, nz)
+    sx0 = jnp.clip((i * bx - 1) // T, 0, cs[0] - wsx)
+    sy0 = jnp.clip((j * by - 1) // T, 0, cs[1] - wsy)
+    xsegs = _axis_segments(i, bx, T, HALO_X)
+    ysegs = _axis_segments(j, by, T, HALO_Y)
+    u = []
+    for a in range(3):
+        rows = []
+        for ox, lx, cgx in xsegs:
+            cols = []
+            for oy, ly, cgy in ysegs:
+                cgxc = jnp.clip(cgx, 0, cs[0] - 1)
+                cgyc = jnp.clip(cgy, 0, cs[1] - 1)
+                vrow = vr[cgxc - sx0, cgyc - sy0, a * K : (a + 1) * K, :]  # (K, cs2)
+                vfull = jnp.dot(vrow, Zt, preferred_element_type=dtype, precision="highest")  # (K, nz)
+                fx = (i * bx - HALO_X + ox - cgxc * T).astype(dtype)
+                fy = (j * by - HALO_Y + oy - cgyc * T).astype(dtype)
+                px = jax.lax.broadcasted_iota(jnp.int32, (lx, ly, nz), 0).astype(dtype) + fx
+                py = jax.lax.broadcasted_iota(jnp.int32, (lx, ly, nz), 1).astype(dtype) + fy
+                lz = jax.lax.broadcasted_iota(jnp.int32, (lx, ly, nz), 2)
+                pz = (lz - T * (lz // T)).astype(dtype)
+                pos = [px, py, pz]
+                pos[a] = pos[a] + 0.5
+                mono = mono_fn(pos[0], pos[1], pos[2])
+                acc = None
+                for k in range(K):
+                    term = mono[k] * vfull[k][None, None, :]
+                    acc = term if acc is None else acc + term
+                chi = redr[a, ox : ox + lx, oy : oy + ly, :]
+                cols.append(acc * chi)
+            rows.append(jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0])
+        u.append(jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0])
+    return u
+
+
+def _make_exp_finish_update_kernel(kind, K, T, bx, by, nz, cs, wsx, wsy, mono_fn):
+    """finish_update with the expand leg fused in: u is expanded on the
+    halo window in registers, then ap = out_grid + [G Dt]^T(-u), then the
+    CG vector update + loop dots (see _make_finish_update_kernel)."""
+
+    def kernel(*refs):
+        if kind == "none":
+            al, c7r, redr, vr, gr, xr, rr_, pr, xo, ro, zo, part = refs
+            fr = None
+        else:
+            al, c7r, redr, vr, gr, xr, rr_, pr, fr, xo, ro, zo, part = refs
+        a = al[0]
+        u = _expand_u_window(vr, redr, K, T, bx, by, nz, cs, wsx, wsy, mono_fn)
+        w = [-u[ax] for ax in range(3)]
+        contrib = _transpose_contrib(c7r, w)
+        itr = (slice(HALO_X, w[0].shape[0] - HALO_X), slice(HALO_Y, w[0].shape[1] - HALO_Y), slice(None))
+        xs = [xr[c] + a * pr[c] for c in range(7)]
+        rs = [rr_[c] - a * (gr[c] + contrib[c][itr]) for c in range(7)]
+        if kind == "arrow":
+            z_p = (rs[0] + sum(fr[_ARROW_KD + i] * rs[1 + i] for i in range(3))) * fr[_ARROW_SCHUR]
+            zs = [z_p]
+            zs += [(rs[1 + i] + fr[_ARROW_K + i] * z_p) * fr[_ARROW_INVD + i] for i in range(3)]
+            zs += [rs[4 + e] * fr[_ARROW_TEINV + e] for e in range(3)]
+        elif kind == "diag":
+            zs = [fr[c] * rs[c] for c in range(7)]
+        else:
+            zs = rs
+        acc_rr = acc_xx = acc_rz = None
+        for c in range(7):
+            xo[c] = xs[c]
+            ro[c] = rs[c]
+            zo[c] = zs[c]
+            t_rr = jnp.sum(rs[c] * rs[c])
+            t_xx = jnp.sum(xs[c] * xs[c])
+            t_rz = jnp.sum(rs[c] * zs[c])
+            acc_rr = t_rr if acc_rr is None else acc_rr + t_rr
+            acc_xx = t_xx if acc_xx is None else acc_xx + t_xx
+            acc_rz = t_rz if acc_rz is None else acc_rz + t_rz
+        i, j = pl.program_id(0), pl.program_id(1)
+        part[0, i, j] = acc_rr
+        part[1, i, j] = acc_xx
+        part[2, i, j] = acc_rz
+
+    return kernel
+
+
+def exp_finish_supported(res, T) -> bool:
+    """Whether the fully-fused expand+finish+update kernel covers this
+    config: fringes must lie in a single cube (halo <= min(tile, block))."""
+    try:
+        bx, by = _blocks_for(res)
+    except ValueError:
+        return False
+    return min(T, bx) >= HALO_X and min(T, by) >= HALO_Y
+
+
+def exp_finish_update_packed(xp, rp, pp, alpha, coeffs_padded, out_grid, v_arr, res, T, basis, factors=None, kind="none", interpret=None):
+    """(x', r', z, rr, xx, rz): fused expand + finish + CG update.  `v_arr`
+    is the [cs0, cs1, 3K, cs2] cube-origin coefficient slab (the tiny
+    region-algebra output); `up` is never materialized.  `alpha` must
+    already include the reduced pAp term (-sum(mom*v))."""
+    from .basis import monomials_xyz, n_monomials
+
+    interpret = _auto_interpret(interpret)
+    nx, ny, nz = res
+    bx, by = _blocks_for(res)
+    K = n_monomials(basis)
+    cs = tuple(-(-n // T) for n in res)
+    cpbx, cpby = max(bx // T, 1), max(by // T, 1)
+    wsx, wsy = min(cpbx + 2, cs[0]), min(cpby + 2, cs[1])
+    grid = (nx // bx, ny // by)
+    dtype = xp.dtype
+    if not exp_finish_supported(res, T):
+        raise ValueError(f"fused expand+finish needs halo <= min(tile, block); T={T} blocks=({bx},{by})")
+
+    def mono_fn(ox, oy, oz):
+        return monomials_xyz(ox, oy, oz, basis)
+
+    def halo_spec(c, c0=0):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element(bx + 2 * HALO_X), pl.Element(by + 2 * HALO_Y), pl.Element(nz)),
+            lambda i, j: (c0, i * bx, j * by, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    def plain_spec(c):
+        return pl.BlockSpec(
+            (c, bx, by, nz), lambda i, j: (0, i, j, 0),
+            memory_space=None if interpret else pltpu.VMEM,
+        )
+
+    v_spec = pl.BlockSpec(
+        (pl.Element(wsx), pl.Element(wsy), pl.Element(3 * K), pl.Element(cs[2])),
+        lambda i, j: (
+            jnp.clip((i * bx - 1) // T, 0, cs[0] - wsx),
+            jnp.clip((j * by - 1) // T, 0, cs[1] - wsy),
+            0,
+            0,
+        ),
+        memory_space=None if interpret else pltpu.VMEM,
+    )
+    scalar_spec = pl.BlockSpec(
+        (1,), lambda i, j: (0,),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    part_spec = pl.BlockSpec(
+        (3, grid[0], grid[1]), lambda i, j: (0, 0, 0),
+        memory_space=None if interpret else pltpu.SMEM,
+    )
+    ins = [
+        jnp.reshape(alpha.astype(dtype), (1,)),
+        coeffs_padded,
+        coeffs_padded,
+        v_arr,
+        out_grid,
+        xp,
+        rp,
+        pp,
+    ]
+    in_specs = [
+        scalar_spec,
+        halo_spec(7),
+        halo_spec(3, c0=C_RED),
+        v_spec,
+        plain_spec(7),
+        plain_spec(7),
+        plain_spec(7),
+        plain_spec(7),
+    ]
+    if kind == "arrow":
+        ins.append(factors)
+        in_specs.append(plain_spec(N_ARROW))
+    elif kind == "diag":
+        ins.append(factors)
+        in_specs.append(plain_spec(7))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    xo, ro, zo, part = pl.pallas_call(
+        _make_exp_finish_update_kernel(kind, K, T, bx, by, nz, cs, wsx, wsy, mono_fn),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[plain_spec(7), plain_spec(7), plain_spec(7), part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((7, nx, ny, nz), dtype),
+            jax.ShapeDtypeStruct((3, grid[0], grid[1]), dtype),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*ins)
+    sums = jnp.sum(part, axis=(1, 2))
+    return xo, ro, zo, sums[0], sums[1], sums[2]
+
+
+# ---------------------------------------------------------------------------
 # Fused CG update: x' = x + a p, r' = r - a Ap, z = M^-1 r', and the three
 # loop dots (<r',r'>, <x',x'>, <r',z>) — one pointwise kernel replacing two
 # axpys, the preconditioner pass, and three separate reductions (~6 HBM

@@ -470,13 +470,31 @@ def make_apply_packed_pap(grid: Grid, cls: Classification, asm: Assembled, param
         xpad = _pad_halo(xp)
         out_grid, mom, pap1 = grid_mom_pap_packed(xpad, coeffs, grid.res, T, params.basis)
         v_arr = algebra(mom)
-        up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
         pap = jnp.sum(pap1) - jnp.sum(mom * v_arr)
         if defer_finish:
+            if _fuse_expand_ok(grid, params):
+                # fully-fused finish: hand the tiny coefficient slab to the
+                # expand+finish+update kernel; `up` is never materialized
+                return (out_grid, v_arr), pap
+            up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
             return (out_grid, up), pap
+        up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
         return finish_packed(coeffs, out_grid, up, grid.res), pap
 
     return apply_dot
+
+
+def _fuse_expand_ok(grid: Grid, params: SolverParams) -> bool:
+    """Whether the deferred reduced finish should use the fully-fused
+    expand+finish+update kernel (params.fuse_expand and the config within
+    the kernel's static support)."""
+    from .pallas_apply import exp_finish_supported
+
+    return bool(
+        params.fuse_expand
+        and params.do_reduced_regions
+        and exp_finish_supported(grid.res, params.tile_size)
+    )
 
 
 @precise_matmul
@@ -531,7 +549,13 @@ def make_fused_update(grid: Grid, params: SolverParams, factors=None, cls=None, 
         return None
     if params.deflation:
         return None
-    from .pallas_apply import cg_update_packed, finish_update_packed, pack_arrow_factors, pack_coeffs
+    from .pallas_apply import (
+        cg_update_packed,
+        exp_finish_update_packed,
+        finish_update_packed,
+        pack_arrow_factors,
+        pack_coeffs,
+    )
 
     if params.preconditioner == PreconditionerType.CELL_ARROW:
         fstack = pack_arrow_factors(factors)
@@ -549,11 +573,19 @@ def make_fused_update(grid: Grid, params: SolverParams, factors=None, cls=None, 
     if cls is not None and asm is not None and params.do_reduced_regions:
         storage = jnp.bfloat16 if params.coeff_bf16 else None
         coeffs = pack_coeffs(asm, cls, storage_dtype=storage)
+    fuse_expand = cls is not None and _fuse_expand_ok(grid, params)
+    T, basis = params.tile_size, params.basis
 
     def fused(x, r, p, ap, alpha):
         if isinstance(ap, tuple):
-            og, up = ap
-            return finish_update_packed(x, r, p, alpha, coeffs, og, up, factors=fstack, kind=kind)
+            og, tail = ap
+            if fuse_expand:
+                # tail is the tiny [cs0, cs1, 3K, cs2] coefficient slab
+                return exp_finish_update_packed(
+                    x, r, p, alpha, coeffs, og, tail, grid.res, T, basis,
+                    factors=fstack, kind=kind,
+                )
+            return finish_update_packed(x, r, p, alpha, coeffs, og, tail, factors=fstack, kind=kind)
         return cg_update_packed(x, r, p, ap, alpha, factors=fstack, kind=kind)
 
     return fused

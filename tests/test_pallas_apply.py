@@ -338,6 +338,115 @@ def test_coeff_bf16_close_and_symmetric():
     assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0)
 
 
+def _finish_case(kind):
+    """Shared setup for the deferred-finish kernel tests: one pass-1
+    evaluation plus the reference finish_update inputs."""
+    from polystokes_tpu.pallas_apply import (
+        _pad_halo,
+        expand_packed,
+        grid_mom_pap_packed,
+        pack_arrow_factors,
+        pack_coeffs,
+    )
+    from polystokes_tpu.config import PreconditionerType
+    from polystokes_tpu.deflation import packed_masks
+    from polystokes_tpu.solver import _region_algebra_packed, precond_factors_packed
+
+    grid, params, scene, cls, asm, R = _make(True)
+    if kind == "arrow":
+        params = params.replace(preconditioner=PreconditionerType.CELL_ARROW)
+    params = params.replace(use_pallas=True)
+    T = params.tile_size
+    rng = np.random.default_rng(11)
+    shape = (7,) + tuple(grid.res)
+    xp, rp, pp = (jnp.asarray(rng.standard_normal(shape), params.dtype) for _ in range(3))
+    pp = pp * packed_masks(grid, cls, params.dtype)
+    coeffs = pack_coeffs(asm, cls)
+    algebra, red_packed = _region_algebra_packed(grid, cls, asm, params, R)
+    og, mom, _ = grid_mom_pap_packed(_pad_halo(pp), coeffs, grid.res, T, params.basis)
+    v_arr = algebra(mom)
+    up = expand_packed(v_arr, red_packed, grid.res, T, params.basis)
+    alpha = jnp.asarray(0.37, params.dtype)
+    fstack = None
+    if kind == "arrow":
+        fstack = pack_arrow_factors(precond_factors_packed(grid, cls, asm, params))
+    return grid, params, T, xp, rp, pp, coeffs, og, v_arr, up, alpha, fstack
+
+
+@pytest.mark.parametrize("kind", ["none", "arrow"])
+def test_exp_finish_update_matches_unfused(kind):
+    """exp_finish_update_packed (in-kernel polynomial expand) ==
+    finish_update_packed fed the materialized expand_packed output."""
+    from polystokes_tpu.pallas_apply import exp_finish_update_packed, finish_update_packed
+
+    grid, params, T, xp, rp, pp, coeffs, og, v_arr, up, alpha, fstack = _finish_case(kind)
+    ref = finish_update_packed(xp, rp, pp, alpha, coeffs, og, up, factors=fstack, kind=kind)
+    got = exp_finish_update_packed(
+        xp, rp, pp, alpha, coeffs, og, v_arr, grid.res, T, params.basis,
+        factors=fstack, kind=kind,
+    )
+    for name, a, b in zip(("x", "r", "z", "rr", "xx", "rz"), got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        s = max(float(np.abs(b).max()), 1.0)
+        assert float(np.abs(a - b).max()) < 1e-5 * s, name
+
+
+@pytest.mark.parametrize("bx,by", [(8, 4), (4, 8), (4, 4)])
+def test_exp_finish_update_partial_blocks(monkeypatch, bx, by):
+    """The fused expand+finish under blocks smaller than the tile (the
+    nz>128 VMEM regime: 256^3 single-region/tiled-16 uses by=8 < T=16):
+    the window fringes cross cube boundaries and the traced cube-index
+    segment decomposition must still match the materialized-up path."""
+    import polystokes_tpu.pallas_apply as pa
+    from polystokes_tpu.pallas_apply import exp_finish_update_packed, finish_update_packed
+
+    monkeypatch.setattr(pa, "_blocks_for", lambda res: (bx, by))
+    assert pa.exp_finish_supported((16, 16, 16), 8)
+    grid, params, T, xp, rp, pp, coeffs, og, v_arr, up, alpha, fstack = _finish_case("arrow")
+    ref = finish_update_packed(xp, rp, pp, alpha, coeffs, og, up, factors=fstack, kind="arrow")
+    got = exp_finish_update_packed(
+        xp, rp, pp, alpha, coeffs, og, v_arr, grid.res, T, params.basis,
+        factors=fstack, kind="arrow",
+    )
+    for name, a, b in zip(("x", "r", "z", "rr", "xx", "rz"), got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        s = max(float(np.abs(b).max()), 1.0)
+        assert float(np.abs(a - b).max()) < 1e-5 * s, name
+
+
+def test_exp_finish_supported_gate():
+    """Configs with halo > min(tile, block) fall outside the fused
+    expand+finish kernel's static support and must be rejected (the
+    solver then falls back to the materialized-up finish)."""
+    import polystokes_tpu.pallas_apply as pa
+
+    assert pa.exp_finish_supported((128, 128, 128), 16)
+    assert pa.exp_finish_supported((256, 256, 256), 16)  # by=8 < T
+    assert pa.exp_finish_supported((128, 128, 128), 64)  # T > blocks
+    assert not pa.exp_finish_supported((128, 128, 128), 2)  # T < HALO_Y
+
+
+def test_fuse_expand_step_matches_unfused():
+    """Full packed step with fuse_expand on == off (same iterations up to
+    fp noise, same velocities)."""
+    from polystokes_tpu import step
+    from polystokes_tpu.config import PreconditionerType
+
+    grid, params, scene, cls, asm, R = _make(True)
+    params = params.replace(
+        use_pallas=True, fuse_update=True, max_iterations=2000,
+        bicgstab_fallback=False, tolerance=1e-5,
+        preconditioner=PreconditionerType.CELL_ARROW,
+    )
+    v0, _, s0 = step(grid, scene, params.replace(fuse_expand=False))
+    v1, _, s1 = step(grid, scene, params.replace(fuse_expand=True))
+    assert bool(s0["converged"]) and bool(s1["converged"])
+    assert abs(int(s1["iterations"]) - int(s0["iterations"])) <= 3
+    scale = max(float(jnp.max(jnp.abs(v0[0]))), 1e-8)
+    for a in range(3):
+        np.testing.assert_allclose(np.asarray(v1[a]), np.asarray(v0[a]), atol=2e-4 * scale)
+
+
 def test_boundary_liquid_fails_safe():
     """Packed layout invariant made safe in step()/solve_chunked itself
     (not only in the check_pallas pre-flight): liquid touching the domain

@@ -39,17 +39,17 @@ def suite_table():
 
 
 def frames_table():
-    recs = _load("FRAMES_AB_SI.json") or []
     print("| config | steady iters/frame | steady solve wall | steady frame wall | frame/solve |")
     print("|---|---|---|---|---|")
-    for r in recs:
-        steady = r["frames"][2:] or r["frames"]
-        wall = sum(f["wall_s"] for f in steady) / len(steady)
-        sw = r["steady_mean_solve_wall_s"]
-        print(
-            f"| {r['config']} | {r['steady_mean_iterations']:.0f} | {sw:.3f} s | "
-            f"{wall:.2f} s | {wall/sw:.1f}x |"
-        )
+    for name in ("FRAMES_AB_SI.json", "FRAMES_AB_SI_256.json", "FRAMES_AB_SI_256_CROP.json"):
+        for r in _load(name) or []:
+            steady = r["frames"][2:] or r["frames"]
+            wall = sum(f["wall_s"] for f in steady) / len(steady)
+            sw = r["steady_mean_solve_wall_s"]
+            print(
+                f"| {r['config']} | {r['steady_mean_iterations']:.0f} | {sw:.3f} s | "
+                f"{wall:.2f} s | {wall/sw:.1f}x |"
+            )
 
 
 def headline_series():

@@ -139,9 +139,13 @@ def unpack_ptau(packed: jnp.ndarray) -> PTau:
 def pack_coeffs(asm, cls=None, storage_dtype=None, pad=True) -> jnp.ndarray:
     """Assembled -> [17, nx+2Hx, ny+2Hy, nz] pre-scaled, pre-halo-padded
     coefficient stack (built once per step, reused every iteration).  The
-    last 3 channels are the reduced-face masks (zero when cls is None).
-    `pad=False` returns the unpadded [17, nx, ny, nz] stack (the sharded
-    path pads per-shard with a real neighbor halo, parallel/shard_apply).
+    last 3 channels are the reduced-face masks — OMITTED when cls is None
+    (uniform solves get a [14, ...] stack: the uniform kernels never read
+    C_RED, and dropping the dead channels saves 3 halo-window sweeps per
+    iteration).  Kernel wrappers size their coefficient window from
+    coeffs.shape[0], so both stacks flow through the same code.
+    `pad=False` returns the unpadded stack (the sharded path pads
+    per-shard with a real neighbor halo, parallel/shard_apply).
 
     `storage_dtype=jnp.bfloat16` halves the stack's per-iteration HBM
     traffic.  This keeps the operator exactly symmetric (the forward and
@@ -159,10 +163,8 @@ def pack_coeffs(asm, cls=None, storage_dtype=None, pad=True) -> jnp.ndarray:
     chans += [0.5 * asm.uinv_c]
     chans += [_edge_to_slot(0.5 * asm.uinv_e[e], e) for e in range(3)]
     dtype = asm.clw_s.dtype
-    for a in range(3):
-        if cls is None:
-            chans.append(jnp.zeros_like(asm.clw_s))
-        else:
+    if cls is not None:
+        for a in range(3):
             red = (cls.face_labels[a] == REDUCED) & (cls.face_region[a] >= 0)
             chans.append(_face_to_slot(red.astype(dtype), a))
     stack = jnp.stack(chans, axis=0)
@@ -503,7 +505,7 @@ def apply_uniform_packed(xp, coeffs_padded, res, interpret=None, prepadded=False
     pads per-shard with real neighbor data)."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0]), interpret)
     return pl.pallas_call(
         _apply_kernel_uniform,
         grid=grid,
@@ -519,7 +521,7 @@ def forward_s_packed(xp, coeffs_padded, res, interpret=None):
     """s = [G Dt] x on all faces (slot space), packed [3,...]."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0]), interpret)
     return pl.pallas_call(
         _forward_kernel,
         grid=grid,
@@ -535,7 +537,7 @@ def combine_packed(xp, coeffs_padded, sp, up, res, interpret=None):
     """out = [G Dt]^T (-dt McInv s - u_red) - mass terms."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    grid, (xspec, cspec, sspec, uspec), out_spec = _grid_and_specs(res, (7, N_COEFF, 3, 3), interpret)
+    grid, (xspec, cspec, sspec, uspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0], 3, 3), interpret)
     return pl.pallas_call(
         _combine_kernel,
         grid=grid,
@@ -554,7 +556,7 @@ def apply_reduced_packed(xp_padded, coeffs_padded, up, res, interpret=None, up_p
     boundary in the untiled cube-regions mode)."""
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
-    grid, (xspec, cspec, uspec), out_spec = _grid_and_specs(res, (7, N_COEFF, 3), interpret)
+    grid, (xspec, cspec, uspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0], 3), interpret)
     return pl.pallas_call(
         _apply_reduced_kernel,
         grid=grid,
@@ -774,7 +776,7 @@ def grid_mom_pap_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None)
         return monomials_xyz(ox, oy, oz, basis)
 
     kernel = _make_grid_mom_kernel(K, T, bx, by, nz, mono_fn)
-    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret, T=T)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0]), interpret, T=T)
     mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     dtype = xp_padded.dtype
     return pl.pallas_call(
@@ -797,7 +799,7 @@ def apply_uniform_pap_packed(xp, coeffs_padded, res, interpret=None):
     interpret = _auto_interpret(interpret)
     nx, ny, nz = res
     bx, by = _blocks_for(res)
-    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, N_COEFF), interpret)
+    grid, (xspec, cspec), out_spec = _grid_and_specs(res, (7, coeffs_padded.shape[0]), interpret)
     return pl.pallas_call(
         _grid_uniform_pap_kernel,
         grid=grid,
@@ -1340,7 +1342,7 @@ def moments_packed(xp_padded, coeffs_padded, res, T, basis, interpret=None):
         return monomials_xyz(ox, oy, oz, basis)
 
     kernel = _make_moments_kernel(basis, K, T, bx, by, nz, mono_fn)
-    grid, (xspec, cspec), _ = _grid_and_specs(res, (7, N_COEFF), interpret, T=T)
+    grid, (xspec, cspec), _ = _grid_and_specs(res, (7, coeffs_padded.shape[0]), interpret, T=T)
     mom_spec = _mom_spec(T, bx, by, K, cs, interpret)
     return pl.pallas_call(
         kernel,

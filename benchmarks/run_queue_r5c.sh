@@ -29,4 +29,9 @@ run bf16_si python benchmarks/bf16_ab.py --scene jelly_jam_si --n 128 \
 # 3. and in the toy-stiffness regime (the round-3 non-win's conditions)
 run bf16_toy python benchmarks/bf16_ab.py --scene honey_coil --n 128 \
     --configs uniform,single --out BF16_AB_TOY.json
+# 4. variance check: the uniform/solid configs measured 15-47% slower at
+#    head than their r3 records (suite_head_64/128) — re-measure to split
+#    tunnel variance from a real rounds-4/5 regression (post-channel-trim
+#    code: uniform now reads a 14-channel coeff stack)
+run suite_recheck python benchmarks/suite.py --configs 1,4,6
 echo "$(date -u +%H:%M:%S) QUEUE-C DONE" >> "$LOG/queue.log"

@@ -50,6 +50,10 @@ def build_argparser():
                    help="matrix scheme for --solver eigen")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas apply (pre-flight checked; falls back to XLA if the scene touches the domain box)")
+    p.add_argument("--fuse-update", action="store_true",
+                   help="fused CG update kernels (packed path; measured slower than XLA's BLAS1 fusion on v5e — see BENCH.md fusion study)")
+    p.add_argument("--bf16-coeffs", action="store_true",
+                   help="store the loop-constant coefficient stack in bfloat16 (kernel math stays f32; ~0.4%% operator rounding)")
     p.add_argument("--params", help="JSON file overriding SolverParams")
     p.add_argument("--export-prefix", help="export grids/components/stats with this prefix")
     p.add_argument("--export-mtx", action="store_true", help="MatrixMarket instead of npz")
@@ -139,6 +143,8 @@ def main(argv=None):
             solver_type=SolverType.EIGEN if args.solver == "eigen" else SolverType.PCG_MATRIX_VECTOR_PRODUCTS,
             matrix_scheme=MatrixScheme(args.scheme),
             use_pallas=args.pallas,
+            fuse_update=args.fuse_update,
+            coeff_bf16=args.bf16_coeffs,
             deflation=args.deflation,
             deflation_tile=args.deflation_tile,
         )

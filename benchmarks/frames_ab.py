@@ -62,7 +62,7 @@ def run_config(name, builder, args, reduced, single=False):
         do_reduced_regions=reduced, do_tile=not single, tile_size=args.tile, tile_padding=2, **kw,
         preconditioner=PreconditionerType(args.precond), use_pallas=True,
         tolerance=1e-3, max_iterations=args.max_iters, bicgstab_fallback=False,
-        fuse_update=args.fuse_update,
+        fuse_update=args.fuse_update, coeff_bf16=args.bf16_coeffs,
         use_warm_start=not args.cold, device_warm_start=not args.cold,
     )
     grid, scene = builder(n=args.n, dtype=jnp.float32)
@@ -139,6 +139,8 @@ def main():
     ap.add_argument("--max-iters", type=int, default=20000)
     ap.add_argument("--precond", default="cell_arrow")
     ap.add_argument("--fuse-update", action="store_true")
+    ap.add_argument("--bf16-coeffs", action="store_true",
+                    help="store the packed coefficient stack in bf16 (halves its HBM traffic)")
     ap.add_argument("--cold", action="store_true", help="zero guess every frame (warm start OFF)")
     ap.add_argument("--crop", action="store_true",
                     help="solve each frame on the liquid's bounding box (domain.solve_cropped)")

@@ -68,6 +68,13 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     grid, scene = getattr(builders, args.scene)(n=args.n, dtype=jnp.float32)
+    # frames_ab methodology: every solve sees the +g*dt gravity kick (the
+    # raw jelly_jam_si state already satisfies the tolerance -> 0 iterations)
+    import dataclasses as dc
+
+    vel = list(scene.velocity)
+    vel[2] = vel[2] + jnp.asarray(-9.8, jnp.float32) * scene.dt
+    scene = dc.replace(scene, velocity=tuple(vel))
     records = []
     for config in args.configs.split(","):
         for bf16 in (False, True):

@@ -52,6 +52,25 @@ def frames_table():
             )
 
 
+def bf16_table():
+    print("| scene | config | bf16 | iters | cold wall | warm wall | converged |")
+    print("|---|---|---|---|---|---|---|")
+    for name in ("BF16_AB_SI.json", "BF16_AB_TOY.json"):
+        for r in _load(name) or []:
+            print(
+                f"| {r['scene']} {r['n']}^3 | {r['config']} | {'on' if r['bf16'] else 'off'} | "
+                f"{r['iterations']} | {r['wall_s']:.2f} s | {r['wall_warm_s']:.3f} s | "
+                f"{'yes' if r['converged'] else 'NO'} |"
+            )
+    for r in _load("FRAMES_AB_SI_BF16.json") or []:
+        steady = r["frames"][2:] or r["frames"]
+        wall = sum(f["wall_s"] for f in steady) / len(steady)
+        print(
+            f"| warm frames | {r['config']} | on | {r['steady_mean_iterations']:.0f}/frame | "
+            f"— | {r['steady_mean_solve_wall_s']:.3f} s solve / {wall:.2f} s frame | — |"
+        )
+
+
 def headline_series():
     print("| round | headline (bench.py) | iters | vs CPU baseline | metric |")
     print("|---|---|---|---|---|")
@@ -83,6 +102,8 @@ if __name__ == "__main__":
     suite_table()
     print("\n## Warm frames (FRAMES_AB_SI.json)\n")
     frames_table()
+    print("\n## bf16 coefficient A/B (BF16_AB_*.json)\n")
+    bf16_table()
     print("\n## Headline series (BENCH_r0*.json)\n")
     headline_series()
     print("\n## Parity (TPU_PARITY.json)\n")

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from polystokes_tpu import SolverParams
 from polystokes_tpu.config import PreconditionerType
 from polystokes_tpu.scenes import builders
-from polystokes_tpu.solver import check_pallas, solve_chunked
+from polystokes_tpu.solver import check_pallas, sample_density, solve_chunked
 
 
 def base_params(config):
@@ -78,7 +78,8 @@ def main():
     records = []
     for config in args.configs.split(","):
         for bf16 in (False, True):
-            params = check_pallas(grid, scene, base_params(config).replace(coeff_bf16=bf16))
+            params = sample_density(scene, base_params(config).replace(coeff_bf16=bf16))
+            params = check_pallas(grid, scene, params)
             # warm the compile cache, then measure the steady call
             rec = run_one(grid, scene, params)
             rec2 = run_one(grid, scene, params)
